@@ -1,0 +1,45 @@
+"""cudasift_tpu — a TPU-native SIFT framework built on JAX/XLA/Pallas.
+
+From-scratch reimplementation of the capabilities of Celebrandil/CudaSift
+(reference API: cudaSift.h:35-43), designed TPU-first: fused scale-space
+stencils, mask-based deterministic compaction instead of atomics, MXU matmul
+matching with a fused top-2 ratio test, and fully jitted RANSAC homography.
+
+Public API parity map:
+
+==========================  =====================================
+CudaSift (cudaSift.h)       cudasift_tpu
+==========================  =====================================
+InitCuda                    (not needed — JAX owns the device)
+AllocSiftTempMemory         (not needed — XLA allocates per program)
+InitSiftData                init_sift_data
+ExtractSift                 extract_sift
+FreeSiftData                (garbage collected)
+PrintSiftData               print_sift_data
+MatchSiftData               match_sift_data
+FindHomography              find_homography
+ImproveHomography           improve_homography
+==========================  =====================================
+"""
+
+from .config import SiftParams, MatchParams, HomographyParams
+from .sift_data import SiftData, init_sift_data, print_sift_data
+from .pipeline import extract_sift
+from .ops.match import match_sift_data, match_descriptors
+from .ops.homography import find_homography, improve_homography
+
+__all__ = [
+    "SiftParams",
+    "MatchParams",
+    "HomographyParams",
+    "SiftData",
+    "init_sift_data",
+    "print_sift_data",
+    "extract_sift",
+    "match_sift_data",
+    "match_descriptors",
+    "find_homography",
+    "improve_homography",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,161 @@
+"""Static configuration for the TPU-native SIFT pipeline.
+
+The reference (Celebrandil/CudaSift) spreads its configuration over three tiers:
+compile-time tile constants (cudaSiftD.h:8-42), hard-coded algorithm constants
+(edge limit cudaSiftH.cu:213, descriptor clamp cudaSiftD.cu:398, second-peak
+ratio cudaSiftD.cu:1039) and runtime API parameters (cudaSift.h:38,42-43).
+Here everything lives in one frozen dataclass that is hashable, so it can be
+passed as a static argument to ``jax.jit`` — octave shapes and Gaussian kernel
+tables are then resolved at trace time, giving XLA fully static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import cached_property
+
+import numpy as np
+
+# Number of DoG scales searched for extrema per octave (cudaSiftD.h:8).
+NUM_SCALES = 5
+# Number of Gaussian scales per octave = NUM_SCALES + 3 (cudaSiftD.h:35).
+NUM_LAPLACE_SCALES = NUM_SCALES + 3
+# Gaussian blur kernel radius (cudaSiftD.h:38).
+LAPLACE_R = 4
+# LowPass prefilter radius (cudaSiftD.h:42).
+LOWPASS_R = 4
+# Edge-response limit: reject if trace^2 >= limit * det (cudaSiftH.cu:213).
+EDGE_LIMIT = 10.0
+# Descriptor value clamp between the two L2 normalizations (cudaSiftD.cu:398).
+DESC_CLAMP = 0.2
+# Second orientation peak must exceed this fraction of the best peak to spawn
+# a duplicate keypoint (cudaSiftD.cu:1039).
+SECOND_PEAK_RATIO = 0.8
+# Orientation histogram bins (cudaSiftD.cu:974 hist[64]: 32 raw + 32 smoothed).
+NUM_ORI_BINS = 32
+# Descriptor geometry: 4x4 spatial cells x 8 orientation bins from a 16x16
+# sample grid (cudaSiftD.cu:337-386).
+DESC_WIDTH = 16
+DESC_DIM = 128
+
+
+def gaussian_kernel_1d(radius: int, variance: float) -> np.ndarray:
+    """Normalized symmetric 1-D Gaussian taps, length ``2*radius+1``.
+
+    Mirrors the host-side construction for the ScaleDown 5-tap kernel
+    (cudaSiftH.cu:315-325) and the LowPass 9-tap kernel (cudaSiftH.cu:406-421):
+    ``k[j] = exp(-j^2 / (2*variance))``, normalized to sum 1.
+    """
+    j = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-(j * j) / (2.0 * variance))
+    return (k / k.sum()).astype(np.float32)
+
+
+def laplace_kernels(num_octaves: int, init_blur: float = 0.0) -> np.ndarray:
+    """Per-octave, per-scale 1-D Gaussian taps for the scale-space pyramid.
+
+    Mirrors ``PrepareLaplaceKernels`` (cudaSiftH.cu:439-458): octave ``o``
+    (0 = full resolution, num_octaves-1 = smallest) uses residual base blur
+    accumulated through the ScaleDown chain,
+    ``b_{o+1} = sqrt(b_o^2 + 0.5^2) / 2`` with ``b_0 = init_blur``,
+    and scale ``s`` targets sigma ``2^((s-1)/NUM_SCALES)``, i.e. variance
+    ``sigma_s^2 - b_o^2``. Returns shape ``(num_octaves, 8, 9)`` float32,
+    normalized symmetric taps (center at index LAPLACE_R).
+    """
+    out = np.zeros((num_octaves, NUM_LAPLACE_SCALES, 2 * LAPLACE_R + 1), np.float64)
+    blur = float(init_blur)
+    for o in range(num_octaves):
+        scale = 2.0 ** (-1.0 / NUM_SCALES)
+        diff_scale = 2.0 ** (1.0 / NUM_SCALES)
+        for s in range(NUM_LAPLACE_SCALES):
+            var = scale * scale - blur * blur
+            j = np.arange(0, LAPLACE_R + 1, dtype=np.float64)
+            half = np.exp(-(j * j) / (2.0 * var))
+            norm = half[0] + 2.0 * half[1:].sum()
+            half /= norm
+            out[o, s, LAPLACE_R:] = half
+            out[o, s, :LAPLACE_R] = half[1:][::-1]
+            scale *= diff_scale
+        blur = math.sqrt(blur * blur + 0.25) / 2.0
+    return out.astype(np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class SiftParams:
+    """All static knobs of the extraction pipeline (hashable; jit-static).
+
+    Mirrors the runtime parameters of ``ExtractSift`` (cudaSift.h:38) plus the
+    internal constants the reference hard-codes.
+    """
+
+    num_octaves: int = 5
+    init_blur: float = 1.0
+    thresh: float = 3.0
+    lowest_scale: float = 0.0
+    scale_up: bool = False
+    max_pts: int = 32768
+    # Fraction of octave pixels reserved as extrema-candidate slots before
+    # compaction. The reference appends via atomicInc with a global cap; we
+    # use fixed per-octave capacities so shapes stay static under jit.
+    candidate_fraction: float = 1.0 / 256.0
+    min_candidates: int = 256
+    edge_limit: float = EDGE_LIMIT
+    compute_dtype: str = "float32"
+
+    def octave_shapes(self, height: int, width: int) -> tuple[tuple[int, int], ...]:
+        """Image shape per octave, index 0 = full working resolution.
+
+        The working resolution is the input doubled when ``scale_up`` is set
+        (cudaSiftH.cu:81-82); each octave halves via floor division
+        (cudaSiftH.cu:146-167 operates on w/2, h/2).
+        """
+        h = height * (2 if self.scale_up else 1)
+        w = width * (2 if self.scale_up else 1)
+        shapes = []
+        for _ in range(self.num_octaves):
+            shapes.append((h, w))
+            h //= 2
+            w //= 2
+        return tuple(shapes)
+
+    @property
+    def lowest_scale_effective(self) -> float:
+        """lowestScale is doubled under scale_up (cudaSiftH.cu:127)."""
+        return self.lowest_scale * (2.0 if self.scale_up else 1.0)
+
+    def candidate_capacity(self, height: int, width: int) -> int:
+        """Fixed extrema-candidate slots for an octave of the given shape."""
+        cap = int(height * width * NUM_SCALES * self.candidate_fraction)
+        cap = max(self.min_candidates, cap)
+        cap = min(cap, self.max_pts)
+        # Round up to a lane multiple for friendlier TPU layouts.
+        return (cap + 127) // 128 * 128
+
+    @cached_property
+    def laplace_kernels(self) -> np.ndarray:
+        """(num_octaves, 8, 9) Gaussian tap table; octave 0 = full res.
+
+        The reference's recursion passes ``initBlur=0`` for the top octave
+        (cudaSiftH.cu:110) because the LowPass prefilter blur is treated as
+        part of the image, and accumulates ScaleDown blur for lower octaves.
+        """
+        return laplace_kernels(self.num_octaves, 0.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchParams:
+    """Static knobs of the brute-force matcher (matching.cu:1090-1206)."""
+
+    tile_n2: int = 2048  # streaming tile along the second point set
+    use_bf16: bool = False  # bfloat16 MXU inputs with f32 accumulation
+
+
+@dataclasses.dataclass(frozen=True)
+class HomographyParams:
+    """Static knobs of RANSAC + refinement (matching.cu:1000, geomFuncs.cpp:6)."""
+
+    num_loops: int = 1024
+    min_score: float = 0.85
+    max_ambiguity: float = 0.95
+    thresh: float = 5.0

@@ -1,0 +1,225 @@
+"""RANSAC homography estimation and iterative least-squares refinement.
+
+TPU-native replacement for ``FindHomography`` (matching.cu:1000-1087) and
+``ImproveHomography`` (geomFuncs.cpp:6-72). The reference's path is the
+chattiest in the codebase: device->host copies of scores, host ``rand()``
+sampling, host->device index upload, two kernels, a host argmax and a pure
+CPU refinement loop using OpenCV's Cholesky solver. Here the whole thing is
+one jitted program: ``jax.random`` sampling, batched 8x8 DLT solves
+(vmapped ``jnp.linalg.solve`` replacing the per-thread LU ``InvertMatrix<8>``,
+matching.cu:821-905), a masked inlier reduction, an on-device argmax, and an
+iteratively reweighted refinement with Hartley-normalized coordinates so the
+normal equations stay well-conditioned in float32 (the reference accumulates
+in float64 on the host; raw pixel-coordinate normal equations overflow f32
+precision).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..sift_data import SiftData
+
+
+def _compact_valid(mask: jnp.ndarray, capacity: int):
+    """Indices of set bits, raster order, fixed capacity."""
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    count = jnp.minimum(pos[-1] + 1, capacity).astype(jnp.int32)
+    dest = jnp.where(mask, pos, capacity)
+    src = jnp.arange(mask.shape[0], dtype=jnp.int32)
+    out = jnp.zeros((capacity,), jnp.int32).at[dest].set(src, mode="drop")
+    return out, count
+
+
+def _sample_distinct_quads(key, num_loops: int, num_valid: jnp.ndarray):
+    """(num_loops, 4) distinct indices in [0, num_valid).
+
+    Replaces the host rand() rejection loops (matching.cu:1041-1053) with a
+    collision-increment scheme: after at most 3 passes of bumping colliding
+    draws forward (mod n) every quad is distinct for n >= 8 (the caller
+    guarantees num_valid >= 8, matching.cu:1040).
+    """
+    n = jnp.maximum(num_valid, 8)
+    u = jax.random.uniform(key, (num_loops, 4))
+    idx = jnp.floor(u * n).astype(jnp.int32) % n
+
+    def fix(_, idx):
+        a, b, c, d = idx[:, 0], idx[:, 1], idx[:, 2], idx[:, 3]
+        b = (b + (b == a)) % n
+        c = (c + (c == a)) % n
+        c = (c + (c == b)) % n
+        d = (d + (d == a)) % n
+        d = (d + (d == b)) % n
+        d = (d + (d == c)) % n
+        return jnp.stack([a, b, c, d], axis=1)
+
+    return jax.lax.fori_loop(0, 4, fix, idx)
+
+
+def _dlt_batch(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+    """Batched 8-parameter DLT (ComputeHomographies, matching.cu:907-948).
+
+    src, dst: (L, 4, 2) -> (L, 8) homography rows [h00..h21], h22 = 1.
+    """
+    x1, y1 = src[..., 0], src[..., 1]
+    x2, y2 = dst[..., 0], dst[..., 1]
+    zeros = jnp.zeros_like(x1)
+    ones = jnp.ones_like(x1)
+    rows_a = jnp.stack(
+        [x1, y1, ones, zeros, zeros, zeros, -x2 * x1, -x2 * y1], axis=-1
+    )
+    rows_b = jnp.stack(
+        [zeros, zeros, zeros, x1, y1, ones, -y2 * x1, -y2 * y1], axis=-1
+    )
+    a = jnp.concatenate([rows_a, rows_b], axis=1)  # (L, 8, 8)
+    b = jnp.concatenate([x2, y2], axis=1)  # (L, 8)
+    return jnp.linalg.solve(a, b[..., None])[..., 0]
+
+
+def _inlier_counts(
+    h8: jnp.ndarray, x1, y1, x2, y2, valid: jnp.ndarray, thresh: float
+) -> jnp.ndarray:
+    """Division-free inlier counting (TestHomographies, matching.cu:969-981)."""
+    nomx = h8[:, 0:1] * x1 + h8[:, 1:2] * y1 + h8[:, 2:3]
+    nomy = h8[:, 3:4] * x1 + h8[:, 4:5] * y1 + h8[:, 5:6]
+    deno = h8[:, 6:7] * x1 + h8[:, 7:8] * y1 + 1.0
+    err2 = (x2 * deno - nomx) ** 2 + (y2 * deno - nomy) ** 2
+    ok = (err2 < thresh * thresh * deno * deno) & valid[None, :]
+    return jnp.sum(ok, axis=1)
+
+
+def find_homography(
+    data: SiftData,
+    key: jax.Array,
+    num_loops: int = 1024,
+    min_score: float = 0.85,
+    max_ambiguity: float = 0.95,
+    thresh: float = 5.0,
+):
+    """RANSAC over matched pairs. Returns (homography (3,3), num_matches ()).
+
+    Candidate pairs are filtered by score/ambiguity (matching.cu:1034-1037);
+    inliers are counted over *all* matched points, like the reference's
+    TestHomographies does. With fewer than 8 valid pairs the identity is
+    returned with zero matches (matching.cu:1016,1040).
+    """
+    cap = data.max_pts
+    valid_pts = data.valid_mask()
+    good = valid_pts & (data.score > min_score) & (data.ambiguity < max_ambiguity)
+    good_idx, num_good = _compact_valid(good, cap)
+
+    quads = _sample_distinct_quads(key, num_loops, num_good)  # (L, 4)
+    pick = good_idx[quads]  # (L, 4) indices into point arrays
+    src = jnp.stack([data.xpos[pick], data.ypos[pick]], axis=-1)
+    dst = jnp.stack([data.match_xpos[pick], data.match_ypos[pick]], axis=-1)
+    h8 = _dlt_batch(src, dst)
+    h8 = jnp.where(jnp.isfinite(h8), h8, 0.0)
+
+    counts = _inlier_counts(
+        h8, data.xpos[None, :], data.ypos[None, :],
+        data.match_xpos[None, :], data.match_ypos[None, :],
+        valid_pts, thresh,
+    )
+    best = jnp.argmax(counts)
+    best_h8 = h8[best]
+    num_matches = counts[best]
+
+    enough = num_good >= 8
+    identity = jnp.array([1.0, 0, 0, 0, 1.0, 0, 0, 0], jnp.float32)
+    best_h8 = jnp.where(enough, best_h8, identity)
+    num_matches = jnp.where(enough, num_matches, 0)
+    homography = jnp.concatenate([best_h8, jnp.ones((1,), best_h8.dtype)]).reshape(3, 3)
+    return homography, num_matches
+
+
+def _normalization(x, y, mask):
+    """Hartley similarity transform: zero mean, mean distance sqrt(2)."""
+    w = mask.astype(jnp.float32)
+    n = jnp.maximum(w.sum(), 1.0)
+    cx = (x * w).sum() / n
+    cy = (y * w).sum() / n
+    d = jnp.sqrt((x - cx) ** 2 + (y - cy) ** 2)
+    mean_d = (d * w).sum() / n
+    s = jnp.sqrt(2.0) / jnp.maximum(mean_d, 1e-6)
+    return cx, cy, s
+
+
+def improve_homography(
+    data: SiftData,
+    homography: jnp.ndarray,
+    num_loops: int = 5,
+    min_score: float = 0.0,
+    max_ambiguity: float = 0.95,
+    thresh: float = 3.0,
+):
+    """Iteratively reweighted DLT refinement (ImproveHomography,
+    geomFuncs.cpp:6-72).
+
+    Each iteration: binary weights err < thresh^2 on score/ambiguity-filtered
+    pairs, accumulate the 8x8 normal equations, solve. Coordinates are
+    Hartley-normalized so f32 accumulation is stable; the solved homography
+    is denormalized before the next weighting pass, keeping the iteration
+    equivalent to the reference's pixel-space loop.
+
+    Returns (homography (3,3), num_fit (), match_error (max_pts,)).
+    """
+    limit = thresh * thresh
+    valid = data.valid_mask()
+    gated = valid & (data.score >= min_score) & (data.ambiguity <= max_ambiguity)
+    x1, y1 = data.xpos, data.ypos
+    x2, y2 = data.match_xpos, data.match_ypos
+
+    cx1, cy1, s1 = _normalization(x1, y1, gated)
+    cx2, cy2, s2 = _normalization(x2, y2, gated)
+    nx1, ny1 = s1 * (x1 - cx1), s1 * (y1 - cy1)
+    nx2, ny2 = s2 * (x2 - cx2), s2 * (y2 - cy2)
+
+    t1 = jnp.array(
+        [[s1, 0, -s1 * cx1], [0, s1, -s1 * cy1], [0, 0, 1]], jnp.float32
+    )
+    t2 = jnp.array(
+        [[s2, 0, -s2 * cx2], [0, s2, -s2 * cy2], [0, 0, 1]], jnp.float32
+    )
+    t2inv = jnp.array(
+        [[1 / s2, 0, cx2], [0, 1 / s2, cy2], [0, 0, 1]], jnp.float32
+    )
+
+    ones = jnp.ones_like(nx1)
+    zeros = jnp.zeros_like(nx1)
+    ya = jnp.stack([nx1, ny1, ones, zeros, zeros, zeros, -nx1 * nx2, -ny1 * nx2], 1)
+    yb = jnp.stack([zeros, zeros, zeros, nx1, ny1, ones, -nx1 * ny2, -ny1 * ny2], 1)
+
+    def errors(h):
+        """Squared reprojection error in original pixel space."""
+        den = h[2, 0] * x1 + h[2, 1] * y1 + h[2, 2]
+        den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+        px = (h[0, 0] * x1 + h[0, 1] * y1 + h[0, 2]) / den
+        py = (h[1, 0] * x1 + h[1, 1] * y1 + h[1, 2]) / den
+        return (px - x2) ** 2 + (py - y2) ** 2
+
+    def body(_, h):
+        err = errors(h)
+        w = (gated & (err < limit)).astype(jnp.float32)
+        m = (
+            jnp.einsum("ni,nj,n->ij", ya, ya, w, precision="highest")
+            + jnp.einsum("ni,nj,n->ij", yb, yb, w, precision="highest")
+        )
+        rhs = (
+            jnp.einsum("ni,n->i", ya, w * nx2, precision="highest")
+            + jnp.einsum("ni,n->i", yb, w * ny2, precision="highest")
+        )
+        m = m + 1e-8 * jnp.eye(8, dtype=m.dtype)
+        a = jnp.linalg.solve(m, rhs)
+        hn = jnp.concatenate([a, jnp.ones((1,), a.dtype)]).reshape(3, 3)
+        h_new = t2inv @ hn @ t1
+        h_new = h_new / h_new[2, 2]
+        return jnp.where(jnp.all(jnp.isfinite(h_new)), h_new, h)
+
+    h = homography / homography[2, 2]
+    h = jax.lax.fori_loop(0, num_loops, body, h)
+
+    err = errors(h)
+    match_error = jnp.sqrt(jnp.where(valid, err, 0.0))
+    num_fit = jnp.sum(valid & (err < limit))
+    return h, num_fit, match_error

@@ -1,0 +1,62 @@
+"""Bilinear texture sampling — the TPU replacement for CUDA ``tex2D``.
+
+The reference samples the octave base image through a texture object with
+linear filtering, clamp addressing and unnormalized coordinates
+(cudaSiftH.cu:187-205). CUDA's convention shifts coordinates by -0.5 before
+interpolating; we reproduce that exactly (in full float precision, not the
+hardware's 8-bit interpolation fractions — README.md:19 already treats small
+deviations as acceptable).
+
+Implemented as vectorized gathers: all callers pass whole coordinate arrays,
+so XLA emits batched dynamic gathers rather than per-point loops.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def tex2d(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Sample ``img`` (H, W) at arbitrary float coordinate arrays.
+
+    ``x`` / ``y`` follow CUDA's unnormalized texture convention: the texel
+    centered at integer pixel (i, j) is sampled by (x, y) = (i+0.5, j+0.5).
+    Returns an array of samples with the broadcast shape of x and y.
+    """
+    h, w = img.shape
+    xb = jnp.clip(x - 0.5, 0.0, w - 1.0)
+    yb = jnp.clip(y - 0.5, 0.0, h - 1.0)
+    x0 = jnp.floor(xb)
+    y0 = jnp.floor(yb)
+    ax = xb - x0
+    ay = yb - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+    v00 = img[y0i, x0i]
+    v01 = img[y0i, x1i]
+    v10 = img[y1i, x0i]
+    v11 = img[y1i, x1i]
+    top = v00 + ax * (v01 - v00)
+    bot = v10 + ax * (v11 - v10)
+    return top + ay * (bot - top)
+
+
+def fast_atan2(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Polynomial atan2 approximation (FastAtan2, cudaSiftD.cu:295-306).
+
+    Used by the descriptor stage both for parity with the reference and
+    because it is a cheap VPU polynomial (no transcendental op). Max error
+    ~0.005 rad.
+    """
+    absx = jnp.abs(x)
+    absy = jnp.abs(y)
+    mx = jnp.maximum(absx, absy)
+    mn = jnp.minimum(absx, absy)
+    a = mn / jnp.where(mx == 0.0, 1.0, mx)
+    s = a * a
+    r = ((-0.0464964749 * s + 0.15931422) * s - 0.327622764) * s * a + a
+    r = jnp.where(absy > absx, 1.57079637 - r, r)
+    r = jnp.where(x < 0, 3.14159274 - r, r)
+    return jnp.where(y < 0, -r, r)

@@ -1,0 +1,187 @@
+"""End-to-end SIFT extraction — the TPU analogue of ``ExtractSift``.
+
+The reference orchestrates extraction host-side: recursive octave descent
+with pointer-arena arithmetic, constant-memory uploads and per-stage kernel
+launches (cudaSiftH.cu:72-232). Here the entire pipeline is ONE jitted
+program per (image shape, params): the octave recursion is unrolled at trace
+time, Gaussian tap tables are baked in as constants, and inter-stage
+"communication" is plain functional dataflow instead of device counters.
+
+Octave processing order matches the reference (smallest octave first,
+cudaSiftH.cu:146-167), so the final point layout groups octaves the same way:
+within an octave, primary orientations precede second-peak duplicates.
+
+One deliberate deviation: the reference's reported ``numPts`` excludes
+second-orientation duplicates of the *last* (full-resolution) octave because
+it reads counter[2*numOctaves] rather than the post-orientation counter
+(cudaSiftH.cu:115 vs cudaSiftD.cu:1038-1043) even though it extracts their
+descriptors; we include every extracted point.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import SiftParams
+from .ops import convolve
+from .ops.detect import detect_octave
+from .ops.orient import compute_orientations
+from .ops.descriptor import extract_descriptors
+from .sift_data import SiftData
+
+
+def _compact(fields: dict, valid: jnp.ndarray, capacity: int):
+    """Stable-compact field arrays by a validity mask into fixed capacity.
+
+    Deterministic replacement for the reference's atomicInc appends
+    (cudaSiftD.cu:1420). Returns (fields, count).
+    """
+    pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    count = jnp.minimum(pos[-1] + 1, capacity).astype(jnp.int32)
+    dest = jnp.where(valid, pos, capacity)
+    out = {}
+    for k, v in fields.items():
+        buf = jnp.zeros((capacity,) + v.shape[1:], v.dtype)
+        out[k] = buf.at[dest].set(v, mode="drop")
+    return out, count
+
+
+def _extract_octave(
+    base: jnp.ndarray,
+    kernels: np.ndarray,
+    params: SiftParams,
+    subsampling: float,
+    capacity: int,
+):
+    """One octave: fused blur+DoG, detection, orientation, descriptors.
+
+    Mirrors ExtractSiftOctave (cudaSiftH.cu:169-232). Returns a dict of
+    per-point fields (capacity slots) + validity, in image-global units
+    (positions scaled by ``subsampling``, cudaSiftD.cu:410-414).
+    """
+    blur = convolve.blur_multi(base, kernels)
+    dog = blur[1:] - blur[:-1]
+
+    cands = detect_octave(
+        dog,
+        params.thresh,
+        params.edge_limit,
+        params.lowest_scale_effective / subsampling,
+        capacity,
+    )
+
+    scale_safe = jnp.where(cands.valid, cands.scale, 1.0)
+    primary, secondary, has_second = compute_orientations(
+        base, cands.xpos, cands.ypos, scale_safe
+    )
+
+    # Primary points first, then second-peak duplicates — matching the
+    # reference's per-octave layout (detection range, then orientation
+    # appends, cudaSiftD.cu:1039-1053).
+    def dup(a, b=None):
+        return jnp.concatenate([a, a if b is None else b])
+
+    fields = {
+        "xpos": dup(cands.xpos),
+        "ypos": dup(cands.ypos),
+        "scale": dup(cands.scale),
+        "sharpness": dup(cands.sharpness),
+        "edgeness": dup(cands.edgeness),
+        "orientation": dup(primary, secondary),
+    }
+    valid = jnp.concatenate([cands.valid, cands.valid & has_second])
+
+    desc_cap = (capacity * 5 // 4 + 127) // 128 * 128
+    fields, count = _compact(fields, valid, desc_cap)
+    slot_valid = jnp.arange(desc_cap) < count
+
+    desc = extract_descriptors(
+        base,
+        fields["xpos"],
+        fields["ypos"],
+        jnp.where(slot_valid, fields["scale"], 1.0),
+        fields["orientation"],
+    )
+    fields["data"] = jnp.where(slot_valid[:, None], desc, 0.0)
+    fields["xpos"] = fields["xpos"] * subsampling
+    fields["ypos"] = fields["ypos"] * subsampling
+    fields["scale"] = fields["scale"] * subsampling
+    fields["subsampling"] = jnp.where(slot_valid, subsampling, 0.0)
+    return fields, slot_valid
+
+
+def _extract_sift_traced(image: jnp.ndarray, params: SiftParams) -> SiftData:
+    h, w = image.shape
+    img = image.astype(jnp.float32)
+    if params.scale_up:
+        img = convolve.scale_up(img)
+    low = convolve.low_pass(img, max(params.init_blur, 0.001))
+
+    kernels = params.laplace_kernels
+    bases = [low]
+    for _ in range(params.num_octaves - 1):
+        bases.append(convolve.scale_down(bases[-1]))
+
+    all_fields: list[dict] = []
+    all_valid: list[jnp.ndarray] = []
+    # Smallest octave first (reference recursion order, cudaSiftH.cu:146-167).
+    for o in reversed(range(params.num_octaves)):
+        oh, ow = bases[o].shape
+        cap = params.candidate_capacity(oh, ow)
+        fields, valid = _extract_octave(
+            bases[o], kernels[o], params, float(2**o), cap
+        )
+        all_fields.append(fields)
+        all_valid.append(valid)
+
+    merged = {
+        k: jnp.concatenate([f[k] for f in all_fields]) for k in all_fields[0]
+    }
+    valid = jnp.concatenate(all_valid)
+    merged, num_pts = _compact(merged, valid, params.max_pts)
+
+    if params.scale_up:
+        # RescalePositions(0.5) (cudaSiftH.cu:130, cudaSiftD.cu:753-761).
+        for k in ("xpos", "ypos", "scale"):
+            merged[k] = merged[k] * 0.5
+
+    n = params.max_pts
+    z = jnp.zeros((n,), jnp.float32)
+    return SiftData(
+        num_pts=num_pts,
+        xpos=merged["xpos"],
+        ypos=merged["ypos"],
+        scale=merged["scale"],
+        sharpness=merged["sharpness"],
+        edgeness=merged["edgeness"],
+        orientation=merged["orientation"],
+        score=z,
+        ambiguity=z,
+        match=jnp.full((n,), -1, jnp.int32),
+        match_xpos=z,
+        match_ypos=z,
+        match_error=z,
+        subsampling=merged["subsampling"],
+        data=merged["data"],
+    )
+
+
+@partial(jax.jit, static_argnames=("params",))
+def _extract_sift_jit(image, params: SiftParams):
+    return _extract_sift_traced(image, params)
+
+
+def extract_sift(image, params: SiftParams = SiftParams()) -> SiftData:
+    """Extract SIFT keypoints + descriptors from a single grayscale image.
+
+    ``image``: (H, W) array-like, float32 grayscale (0..255 range typical).
+    Compiled once per (shape, params); subsequent calls reuse the executable.
+    """
+    image = jnp.asarray(image, jnp.float32)
+    if image.ndim != 2:
+        raise ValueError(f"expected a 2-D grayscale image, got {image.shape}")
+    return _extract_sift_jit(image, params)

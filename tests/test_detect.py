@@ -1,0 +1,77 @@
+"""Extrema detection + subpixel refinement vs the numpy golden model."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import golden
+from cudasift_tpu.config import laplace_kernels
+from cudasift_tpu.ops import convolve, detect
+
+
+def make_dog(rng, h=48, w=64):
+    img = (rng.standard_normal((h, w)) * 20 + 100).astype(np.float32)
+    img = golden.sep_conv_clamp(img, golden.gaussian_kernel(2, 1.0)).astype(np.float32)
+    kernels = laplace_kernels(1)[0]
+    blurs = np.stack([golden.sep_conv_clamp(img, kernels[s]) for s in range(8)])
+    return (blurs[1:] - blurs[:-1]).astype(np.float32)
+
+
+def test_extrema_mask_matches_golden(rng):
+    dog = make_dog(rng)
+    thresh = 0.05
+    mask = np.asarray(detect.extrema_mask(jnp.asarray(dog), thresh))
+    ref = golden.find_extrema(dog.astype(np.float64), thresh)
+    got = sorted(zip(*np.nonzero(mask)))
+    assert got == sorted(ref)
+    assert len(ref) > 5  # fixture actually exercises the path
+
+
+def test_compact_mask_raster_order_and_overflow():
+    mask = np.zeros((2, 4, 5), bool)
+    coords = [(0, 1, 1), (0, 2, 3), (1, 0, 0), (1, 3, 4)]
+    for c in coords:
+        mask[c] = True
+    idx, count = detect.compact_mask(jnp.asarray(mask), 8)
+    assert int(count) == 4
+    flat = [np.ravel_multi_index(c, (2, 4, 5)) for c in coords]
+    np.testing.assert_array_equal(np.asarray(idx)[:4], sorted(flat))
+    # Overflow drops the tail but count saturates at capacity.
+    idx2, count2 = detect.compact_mask(jnp.asarray(mask), 2)
+    assert int(count2) == 2
+    np.testing.assert_array_equal(np.asarray(idx2), sorted(flat)[:2])
+
+
+def test_refinement_matches_golden(rng):
+    dog = make_dog(rng)
+    thresh = 0.05
+    cands = detect.detect_octave(
+        jnp.asarray(dog), thresh, 10.0, lowest_scale=0.0, capacity=256
+    )
+    ref_pts = golden.find_extrema(dog.astype(np.float64), thresh)
+    refined = []
+    for (s, y, x) in ref_pts:
+        r = golden.refine_point(dog.astype(np.float64), s, y, x)
+        if r is not None:
+            refined.append(r)
+    valid = np.asarray(cands.valid)
+    assert valid.sum() == len(refined)
+    ours = sorted(
+        zip(np.asarray(cands.xpos)[valid], np.asarray(cands.ypos)[valid],
+            np.asarray(cands.scale)[valid], np.asarray(cands.sharpness)[valid],
+            np.asarray(cands.edgeness)[valid])
+    )
+    ref = sorted(
+        (r["xpos"], r["ypos"], r["scale"], r["sharpness"], r["edgeness"])
+        for r in refined
+    )
+    for a, b in zip(ours, ref):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+
+
+def test_lowest_scale_gate(rng):
+    dog = make_dog(rng)
+    all_c = detect.detect_octave(jnp.asarray(dog), 0.05, 10.0, 0.0, 256)
+    gated = detect.detect_octave(jnp.asarray(dog), 0.05, 10.0, 1.5, 256)
+    kept = np.asarray(gated.valid).sum()
+    expect = (np.asarray(all_c.scale)[np.asarray(all_c.valid)] >= 1.5).sum()
+    assert kept == expect
