@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..sift_data import SiftData
+from .linalg import solve_batched
 
 
 def _compact_valid(mask: jnp.ndarray, capacity: int):
@@ -74,7 +75,7 @@ def _dlt_batch(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
     )
     a = jnp.concatenate([rows_a, rows_b], axis=1)  # (L, 8, 8)
     b = jnp.concatenate([x2, y2], axis=1)  # (L, 8)
-    return jnp.linalg.solve(a, b[..., None])[..., 0]
+    return solve_batched(a, b)
 
 
 def _inlier_counts(
@@ -111,9 +112,32 @@ def find_homography(
 
     quads = _sample_distinct_quads(key, num_loops, num_good)  # (L, 4)
     pick = good_idx[quads]  # (L, 4) indices into point arrays
-    src = jnp.stack([data.xpos[pick], data.ypos[pick]], axis=-1)
-    dst = jnp.stack([data.match_xpos[pick], data.match_ypos[pick]], axis=-1)
-    h8 = _dlt_batch(src, dst)
+
+    # Hartley-normalize coordinates so the f32 DLT systems are
+    # well-conditioned (the reference solves raw pixel systems in f32 too,
+    # matching.cu:907-948, but tolerates the conditioning loss; on TPU we
+    # normalize and denormalize the winning homography instead).
+    cx1, cy1, s1 = _normalization(data.xpos, data.ypos, good)
+    cx2, cy2, s2 = _normalization(data.match_xpos, data.match_ypos, good)
+    nsx = s1 * (data.xpos[pick] - cx1)
+    nsy = s1 * (data.ypos[pick] - cy1)
+    ndx = s2 * (data.match_xpos[pick] - cx2)
+    ndy = s2 * (data.match_ypos[pick] - cy2)
+    src = jnp.stack([nsx, nsy], axis=-1)
+    dst = jnp.stack([ndx, ndy], axis=-1)
+    hn8 = _dlt_batch(src, dst)
+    hn8 = jnp.where(jnp.isfinite(hn8), hn8, 0.0)
+    # Denormalize each candidate: H = T2^-1 Hn T1, rescaled to h22 = 1.
+    hn = jnp.concatenate(
+        [hn8, jnp.ones((hn8.shape[0], 1), hn8.dtype)], axis=1
+    ).reshape(-1, 3, 3)
+    t1 = jnp.array([[s1, 0, -s1 * cx1], [0, s1, -s1 * cy1], [0, 0, 1]], jnp.float32)
+    t2inv = jnp.array([[1 / s2, 0, cx2], [0, 1 / s2, cy2], [0, 0, 1]], jnp.float32)
+    hp = jnp.einsum("ij,ljk,km->lim", t2inv, hn, t1)
+    h22 = hp[:, 2, 2]
+    h22 = jnp.where(jnp.abs(h22) < 1e-12, 1e-12, h22)
+    hp = hp / h22[:, None, None]
+    h8 = hp.reshape(-1, 9)[:, :8]
     h8 = jnp.where(jnp.isfinite(h8), h8, 0.0)
 
     counts = _inlier_counts(
@@ -210,7 +234,7 @@ def improve_homography(
             + jnp.einsum("ni,n->i", yb, w * ny2, precision="highest")
         )
         m = m + 1e-8 * jnp.eye(8, dtype=m.dtype)
-        a = jnp.linalg.solve(m, rhs)
+        a = solve_batched(m, rhs)
         hn = jnp.concatenate([a, jnp.ones((1,), a.dtype)]).reshape(3, 3)
         h_new = t2inv @ hn @ t1
         h_new = h_new / h_new[2, 2]

@@ -27,12 +27,16 @@ def match_descriptors(
     n2: jnp.ndarray,
     tile: int = 2048,
     use_bf16: bool = False,
+    axis_name: str | None = None,
 ):
     """Best/second-best cosine scores of ``d1`` rows against ``d2`` rows.
 
     d1: (N1, 128), d2: (N2, 128) with only the first n1/n2 rows valid.
     Returns (score, ambiguity, match_index) arrays of length N1, with
     ambiguity = second / (best + 1e-6) (matching.cu:395).
+
+    ``axis_name``: set when called inside ``shard_map`` over that mesh axis —
+    the scan carry must be marked varying along the manual axis.
     """
     n1_cap, dim = d1.shape
     n2_cap = d2.shape[0]
@@ -78,6 +82,8 @@ def match_descriptors(
         jnp.full((n1_cap,), neg, jnp.float32),
         jnp.full((n1_cap,), -1, jnp.int32),
     )
+    if axis_name is not None:
+        init = jax.lax.pvary(init, axis_name)
     (best, second, index), _ = jax.lax.scan(
         step, init, (jnp.arange(num_tiles, dtype=jnp.int32), d2_tiles)
     )

@@ -3,16 +3,23 @@
 The TPU analogue of testing multi-GPU code without a cluster: Pallas kernels
 run in interpret mode on CPU and sharding tests use XLA's virtual host
 devices (SURVEY.md section 4).
+
+NOTE: this environment's axon sitecustomize force-appends the TPU platform
+regardless of JAX_PLATFORMS, so we must override via jax.config *after*
+import — env vars alone do not stick.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
