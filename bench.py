@@ -24,30 +24,55 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def time_fn(fn, *args, iters=30, warmup=5):
-    import jax
+def device_time(traced_fn, iters=20):
+    """True per-call device time: run ``traced_fn(i)`` ``iters`` times inside
+    one jitted fori_loop (the iteration index perturbs the input so nothing
+    hoists), reducing each result to a scalar carried through the loop.
 
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        times.append((time.perf_counter() - t0) * 1e3)
-    times.sort()
-    return times[len(times) // 2]
+    This is the only honest timing on this backend: each host->device
+    dispatch costs ~40 ms through the tunnel and block_until_ready returns
+    early, so per-call wall timing measures the tunnel, not the kernel.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def loop():
+        def body(i, acc):
+            out = traced_fn(i)
+            leaf = jax.tree.leaves(out)[0]
+            return acc + leaf.reshape(-1)[0].astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    float(loop())  # compile + warm
+    t0 = time.perf_counter()
+    float(loop())
+    return (time.perf_counter() - t0) * 1e3 / iters
 
 
 def make_test_image(h, w, seed=0):
-    """Synthetic textured image with realistic feature density: smoothed
-    noise + step edges, 0..255 range."""
+    """Benchmark input with realistic feature density.
+
+    The reference benchmarks on real photographs (data/left.pgm, ~2k
+    features at thresh 3-4.5); pure noise saturates every capacity and
+    measures a pathological worst case. Resize the bundled fixture when
+    available, else synthesize smoothed textured noise."""
+    try:
+        import cv2
+
+        img = cv2.imread("/root/reference/data/left.pgm", 0)
+        if img is not None:
+            return cv2.resize(img.astype(np.float32), (w, h),
+                              interpolation=cv2.INTER_AREA)
+    except ImportError:
+        pass
     rng = np.random.default_rng(seed)
     img = rng.uniform(0, 255, (h, w)).astype(np.float32)
-    # cheap separable smoothing to concentrate energy at SIFT scales
-    for _ in range(2):
+    for _ in range(4):
         img = (img + np.roll(img, 1, 0) + np.roll(img, 1, 1) + np.roll(img, -1, 0)) / 4
     blocks = rng.uniform(0, 255, (h // 32 + 1, w // 32 + 1)).astype(np.float32)
-    img = 0.5 * img + 0.5 * np.kron(blocks, np.ones((32, 32), np.float32))[:h, :w]
+    img = 0.7 * img + 0.3 * np.kron(blocks, np.ones((32, 32), np.float32))[:h, :w]
     return img
 
 
@@ -61,21 +86,21 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev}")
 
+    from cudasift_tpu.pipeline import _extract_sift_traced
+
+    eps = jnp.float32(1e-30)
     results = {}
     for (h, w) in [(960, 1280), (1080, 1920)]:
         img = jnp.asarray(make_test_image(h, w))
         params = cs.SiftParams(num_octaves=5, init_blur=1.0, thresh=3.0,
                                max_pts=32768)
-        t0 = time.perf_counter()
         d = cs.extract_sift(img, params)
-        jax.block_until_ready(d.num_pts)
-        log(f"extract {w}x{h}: compile {time.perf_counter()-t0:.1f}s, "
-            f"numPts={int(d.num_pts)}")
-        ms = time_fn(lambda im=img, p=params: cs.extract_sift(im, p))
+        log(f"extract {w}x{h}: numPts={int(d.num_pts)}")
+        ms = device_time(lambda i: _extract_sift_traced(img + i * eps, params))
         results[f"extract_{w}x{h}_ms"] = ms
         log(f"extract {w}x{h}: {ms:.3f} ms")
 
-    # Matching: 2k x 2k realistic-size descriptor sets.
+    # Matching: 2k x 2k realistic-size descriptor sets; 16k stress config.
     rng = np.random.default_rng(0)
     for n, tag in [(2048, "2k"), (16384, "16k")]:
         d1 = rng.standard_normal((n, 128)).astype(np.float32)
@@ -84,8 +109,9 @@ def main():
         d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
         j1, j2 = jnp.asarray(d1), jnp.asarray(d2)
         nn = jnp.int32(n)
-        fn = jax.jit(lambda a, b, x, y: match_descriptors(a, b, x, y, tile=2048))
-        ms = time_fn(fn, j1, j2, nn, nn)
+        ms = device_time(
+            lambda i: match_descriptors(j1 + i * eps, j2, nn, nn, tile=2048)
+        )
         results[f"match_{tag}_ms"] = ms
         gflops = 2 * n * n * 128 / (ms * 1e-3) / 1e9
         log(f"match {tag}x{tag}: {ms:.3f} ms ({gflops:.0f} GFLOPS)")

@@ -95,13 +95,19 @@ class SiftParams:
     lowest_scale: float = 0.0
     scale_up: bool = False
     max_pts: int = 32768
-    # Fraction of octave pixels reserved as extrema-candidate slots before
-    # compaction. The reference appends via atomicInc with a global cap; we
-    # use fixed per-octave capacities so shapes stay static under jit.
-    candidate_fraction: float = 1.0 / 256.0
+    # Fraction of octave DoG voxels reserved as extrema-candidate slots
+    # before compaction. The reference appends via atomicInc with a global
+    # cap; we use fixed per-octave capacities so shapes stay static under
+    # jit. Real images at thresh>=1 yield well under 1 candidate per 2048
+    # voxels (README.md:111-121: 4236 features TOTAL at 1280x960, thresh 1.0);
+    # overflow saturates and is reported via num_pts.
+    candidate_fraction: float = 1.0 / 2048.0
     min_candidates: int = 256
     edge_limit: float = EDGE_LIMIT
     compute_dtype: str = "float32"
+    # Use the Pallas TPU kernels for orientation/descriptors (ignored on CPU,
+    # where the XLA twins run instead).
+    use_pallas: bool = True
 
     def octave_shapes(self, height: int, width: int) -> tuple[tuple[int, int], ...]:
         """Image shape per octave, index 0 = full working resolution.

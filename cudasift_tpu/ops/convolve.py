@@ -20,8 +20,39 @@ handling is clamp-to-edge everywhere, matching the reference's clamped loads.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax.numpy as jnp
 import numpy as np
+
+
+@lru_cache(maxsize=None)
+def _band_matrix(n_in: int, n_out: int, taps: tuple, stride: int) -> np.ndarray:
+    """(n_in, n_out) clamp-to-edge banded convolution(+decimation) matrix.
+
+    out[o] = sum_j taps[j] * in[clamp(stride*o + j - r)]. Dense but tiny
+    relative to the image; turns stride-2 decimation and edge clamping into a
+    single MXU matmul — strided lane slicing forces layout changes on TPU,
+    a matmul does not.
+    """
+    r = (len(taps) - 1) // 2
+    m = np.zeros((n_in, n_out), np.float32)
+    for o in range(n_out):
+        for j, t in enumerate(taps):
+            src = min(max(stride * o + j - r, 0), n_in - 1)
+            m[src, o] += t
+    return m
+
+
+def _conv_matmul(img: jnp.ndarray, taps, out_h: int, out_w: int,
+                 stride: int) -> jnp.ndarray:
+    """Separable conv(+decimation) as two banded matmuls: Dv.T @ img @ Dh."""
+    h, w = img.shape
+    taps_t = tuple(float(t) for t in taps)
+    dv = jnp.asarray(_band_matrix(h, out_h, taps_t, stride))
+    dh = jnp.asarray(_band_matrix(w, out_w, taps_t, stride))
+    tmp = jnp.einsum("ho,hw->ow", dv, img, precision="highest")
+    return jnp.einsum("ow,wx->ox", tmp, dh, precision="highest")
 
 
 def _conv1d_v(padded: jnp.ndarray, taps: np.ndarray, out_rows: int) -> jnp.ndarray:
@@ -59,7 +90,8 @@ def low_pass(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
     from ..config import gaussian_kernel_1d
 
     taps = gaussian_kernel_1d(4, float(sigma) * float(sigma))
-    return sep_conv_clamp(img, taps)
+    h, w = img.shape
+    return _conv_matmul(img, taps, h, w, 1)
 
 
 def scale_down(img: jnp.ndarray, variance: float = 0.5) -> jnp.ndarray:
@@ -74,10 +106,7 @@ def scale_down(img: jnp.ndarray, variance: float = 0.5) -> jnp.ndarray:
 
     taps = gaussian_kernel_1d(2, float(variance))
     h, w = img.shape
-    pv = jnp.pad(img, ((2, 2), (0, 0)), mode="edge")
-    tmp = _conv1d_v(pv, taps, h)[: (h // 2) * 2 : 2]
-    ph = jnp.pad(tmp, ((0, 0), (2, 2)), mode="edge")
-    return _conv1d_h(ph, taps, w)[:, : (w // 2) * 2 : 2]
+    return _conv_matmul(img, taps, h // 2, w // 2, 2)
 
 
 def scale_up(img: jnp.ndarray) -> jnp.ndarray:
@@ -108,11 +137,12 @@ def blur_multi(img: jnp.ndarray, kernels: np.ndarray) -> jnp.ndarray:
     r = 4
     h, w = img.shape
     pv = jnp.pad(img, ((r, r), (0, 0)), mode="edge")
-    # windows: (9, H, W) -> contract with (8, 9) -> (8, H, W)
-    win = jnp.stack([pv[j : j + h] for j in range(2 * r + 1)])
-    vert = jnp.tensordot(
-        jnp.asarray(kernels), win, axes=[[1], [0]], precision="highest"
-    )
+    # Unrolled weighted slice-sums: 9 shifted adds per pass, broadcast over
+    # the scale axis. XLA fuses each pass into one VPU loop; no matmul-shaped
+    # contraction (a (8,9) tensordot lowers to a badly-tiled MXU op on TPU).
+    vert = kernels[:, 0, None, None] * pv[None, 0:h]
+    for j in range(1, 2 * r + 1):
+        vert = vert + kernels[:, j, None, None] * pv[None, j : j + h]
     ph = jnp.pad(vert, ((0, 0), (0, 0), (r, r)), mode="edge")
     acc = kernels[:, 0, None, None] * ph[:, :, 0:w]
     for j in range(1, 2 * r + 1):

@@ -1,31 +1,42 @@
-"""128-D SIFT descriptor extraction — dense, matmul-shaped binning.
+"""128-D SIFT descriptor extraction — patch-resident, matmul-shaped.
 
 TPU-native replacement for ``ExtractSiftDescriptorsCONSTNew``
-(cudaSiftD.cu:308-417). The CUDA kernel scatters 8 shared-memory atomicAdds
-per sample into a 128-bin histogram. Here the trilinear soft-binning is
-*decomposed into separable contractions*:
+(cudaSiftD.cu:308-417). Three TPU-hostile patterns in the CUDA design are
+each replaced by an MXU-friendly equivalent:
 
-- the spatial (4x4 cell) weights depend only on the static sample index, so
-  they become two constant (16, 4) matrices contracted on the MXU;
-- the angular (8 bin) weights become a dense per-sample 8-vector built from
-  comparisons (no scatter at all).
+- per-texel ``tex2D`` gathers        -> one block-gather of a 48x48 patch per
+                                        keypoint + bilinear sampling as
+                                        interpolation-matrix contractions;
+- shared-memory atomicAdd binning    -> the trilinear soft-binning decomposed
+                                        into two constant (16, 4) spatial
+                                        matrices (the boundary gates
+                                        cudaSiftD.cu:361-386 are exactly the
+                                        zeros of those matrices) and a dense
+                                        per-sample angular 8-vector;
+- hardware transcendental atan2      -> the reference's own FastAtan2
+                                        polynomial (cudaSiftD.cu:295) on the
+                                        VPU.
 
-desc[n, r, c, b] = sum_{y,tx} Wr[y, r] * Wc[tx, c] * A[n, y, tx, b]
-
-This removes every atomic/scatter from the reference's hottest per-keypoint
-stage and turns it into VPU elementwise work plus two small matmuls.
-
-The reference's boundary gates (tx>=2, tx<=13, ... cudaSiftD.cu:361-386) are
-exactly "spatial bin index within [0, 3]" and are encoded in the zeros of the
-constant matrices.
+Keypoints are processed in fixed-size blocks via ``lax.map`` to bound the
+transient interpolation matrices.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
-from .texture import tex2d, fast_atan2
+from .texture import extract_patches, sample_patches_bilinear, fast_atan2
+
+# Patch geometry: max tap radius is 7.5*(12/16)*scale*sqrt(2) + ~2 texels;
+# detection yields octave scales <= 2^(4.5/5) ~ 1.87 (cudaSiftD.cu:1417), so
+# margin 22 covers scales up to ~2.45 (beyond-the-box Newton fallbacks with
+# larger offsets clamp to the patch edge, which only affects pathological
+# points). patch = 48 >= 2*margin + 2.
+_PATCH = 48
+_MARGIN = 22
+_BLOCK = 128
 
 
 def _spatial_bin_matrix() -> np.ndarray:
@@ -64,43 +75,70 @@ def extract_descriptors(
     unit-length rotated gradient taps. Normalization per cudaSiftD.cu:390-409:
     L2 -> clamp 0.2 -> L2.
     """
+    n_in = xpos.shape[0]
+    pad = (-n_in) % _BLOCK
+    if pad:
+        xpos, ypos, scale, orientation = (
+            jnp.pad(a, (0, pad)) for a in (xpos, ypos, scale, orientation)
+        )
     n = xpos.shape[0]
-    theta = (2.0 * 3.1415 / 360.0) * orientation
-    sina = jnp.sin(theta)
-    cosa = jnp.cos(theta)
-    sc = (12.0 / 16.0) * scale
-    ssina = (sc * sina)[:, None, None]
-    scosa = (sc * cosa)[:, None, None]
-    sina_ = sina[:, None, None]
-    cosa_ = cosa[:, None, None]
+    patches, oy, ox = extract_patches(img, xpos, ypos, _PATCH, _MARGIN)
 
-    i = jnp.arange(16, dtype=jnp.float32) - 7.5
-    gx = i[None, None, :]  # tx offset
-    gy = i[None, :, None]  # y offset
-    xs = xpos[:, None, None] + gx * scosa - gy * ssina + 0.5
-    ys = ypos[:, None, None] + gx * ssina + gy * scosa + 0.5
-
-    dx = tex2d(img, xs + cosa_, ys + sina_) - tex2d(img, xs - cosa_, ys - sina_)
-    dy = tex2d(img, xs - sina_, ys + cosa_) - tex2d(img, xs + sina_, ys - cosa_)
-
+    i16 = jnp.arange(16, dtype=jnp.float32) - 7.5
     g = jnp.asarray(_GAUSS16)
-    grad = g[None, :, None] * g[None, None, :] * jnp.sqrt(dx * dx + dy * dy)
-    angf = 4.0 / 3.1415 * fast_atan2(dy, dx) + 4.0
-    angi_raw = jnp.floor(angf)
-    frac = angf - angi_raw
-    angi = angi_raw.astype(jnp.int32) % 8  # wrap the angf==8 corner case
-    angp = (angi + 1) % 8
-
-    bins8 = jnp.arange(8, dtype=jnp.int32)
-    onehot_a = (angi[..., None] == bins8).astype(grad.dtype)
-    onehot_p = (angp[..., None] == bins8).astype(grad.dtype)
-    # (N, 16, 16, 8) angular contribution per sample.
-    ang = grad[..., None] * ((1.0 - frac)[..., None] * onehot_a + frac[..., None] * onehot_p)
-
     w = jnp.asarray(_W_SPATIAL)
-    # Contract sample rows -> cell rows, then sample cols -> cell cols (MXU).
-    t = jnp.einsum("yr,nyxb->nrxb", w, ang, precision="highest")
-    desc = jnp.einsum("xc,nrxb->nrcb", w, t, precision="highest").reshape(n, 128)
+    gauss2 = g[:, None] * g[None, :]  # (16, 16)
+
+    def block_fn(args):
+        patches_b, xp, yp, sc, ori, oy_b, ox_b = args
+        b = xp.shape[0]
+        theta = (2.0 * 3.1415 / 360.0) * ori
+        sina = jnp.sin(theta)
+        cosa = jnp.cos(theta)
+        s12 = (12.0 / 16.0) * sc
+        ssina = (s12 * sina)[:, None, None]
+        scosa = (s12 * cosa)[:, None, None]
+        gx = i16[None, None, :]
+        gy = i16[None, :, None]
+        # Sample centers, local to each patch (B, 16, 16).
+        lx0 = (xp - ox_b.astype(jnp.float32))[:, None, None]
+        ly0 = (yp - oy_b.astype(jnp.float32))[:, None, None]
+        xs = (lx0 + gx * scosa - gy * ssina + 0.5).reshape(b, 256)
+        ys = (ly0 + gx * ssina + gy * scosa + 0.5).reshape(b, 256)
+        ca = cosa[:, None]
+        sa = sina[:, None]
+        # 4 rotated gradient taps per sample (cudaSiftD.cu:340-343).
+        sx = jnp.concatenate([xs + ca, xs - ca, xs - sa, xs + sa], axis=1)
+        sy = jnp.concatenate([ys + sa, ys - sa, ys + ca, ys - ca], axis=1)
+        vals = sample_patches_bilinear(patches_b, sx, sy)  # (B, 1024)
+        dx = vals[:, 0:256] - vals[:, 256:512]
+        dy = vals[:, 512:768] - vals[:, 768:1024]
+        grad = gauss2.reshape(1, 256) * jnp.sqrt(dx * dx + dy * dy)
+        angf = 4.0 / 3.1415 * fast_atan2(dy, dx) + 4.0
+        angi_raw = jnp.floor(angf)
+        frac = angf - angi_raw
+        angi = angi_raw.astype(jnp.int32) % 8  # wrap the angf==8 corner case
+        angp = (angi + 1) % 8
+        bins8 = jnp.arange(8, dtype=jnp.int32)
+        onehot_a = (angi[..., None] == bins8).astype(grad.dtype)
+        onehot_p = (angp[..., None] == bins8).astype(grad.dtype)
+        ang = grad[..., None] * (
+            (1.0 - frac)[..., None] * onehot_a + frac[..., None] * onehot_p
+        )  # (B, 256, 8)
+        ang = ang.reshape(b, 16, 16, 8)
+        t = jnp.einsum("yr,byxq->brxq", w, ang, precision="highest")
+        desc = jnp.einsum("xc,brxq->brcq", w, t, precision="highest").reshape(b, 128)
+        return desc
+
+    nb = n // _BLOCK
+
+    def rb(a):
+        return a.reshape((nb, _BLOCK) + a.shape[1:])
+
+    desc = jax.lax.map(
+        block_fn,
+        (rb(patches), rb(xpos), rb(ypos), rb(scale), rb(orientation), rb(oy), rb(ox)),
+    ).reshape(n, 128)[:n_in]
 
     norm1 = jnp.sqrt(jnp.sum(desc * desc, axis=1, keepdims=True))
     t1 = jnp.minimum(desc / jnp.maximum(norm1, 1e-30), 0.2)

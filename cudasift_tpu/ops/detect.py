@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..config import NUM_SCALES
@@ -40,51 +41,44 @@ class Candidates(NamedTuple):
     count: jnp.ndarray      # () int32, number of valid entries (pre-clamp)
 
 
-def _shift(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
-    """Shift a (..., H, W) array by (dy, dx) with edge replication."""
-    if dy:
-        pad = [(0, 0)] * (a.ndim - 2) + ([(dy, 0)] if dy > 0 else [(0, -dy)]) + [(0, 0)]
-        a = jnp.pad(a, pad, mode="edge")
-        a = a[..., :-dy, :] if dy > 0 else a[..., -dy:, :]
-    if dx:
-        pad = [(0, 0)] * (a.ndim - 1) + ([(dx, 0)] if dx > 0 else [(0, -dx)])
-        a = jnp.pad(a, pad, mode="edge")
-        a = a[..., :-dx] if dx > 0 else a[..., -dx:]
-    return a
-
-
 def extrema_mask(dog: jnp.ndarray, thresh: float) -> jnp.ndarray:
     """(5, H, W) bool mask of strict 3x3x3 extrema exceeding ``thresh``.
 
     Plane s of the result corresponds to DoG plane s+1 compared against
-    planes s and s+2 (cudaSiftD.cu:1308,1328-1357).
+    planes s and s+2 (cudaSiftD.cu:1308,1328-1357). Implemented as static
+    slices of a single zero-padded copy (border pixels are masked off anyway,
+    so pad values are irrelevant) — one fused VPU stencil after XLA.
     """
     _, h, w = dog.shape
-    # Per-plane 3-row column max/min (separable pass 1).
-    cmax = jnp.maximum(jnp.maximum(_shift(dog, 1, 0), dog), _shift(dog, -1, 0))
-    cmin = jnp.minimum(jnp.minimum(_shift(dog, 1, 0), dog), _shift(dog, -1, 0))
-    # Full 3x3 per-plane max/min (separable pass 2).
-    m3max = jnp.maximum(jnp.maximum(_shift(cmax, 0, 1), cmax), _shift(cmax, 0, -1))
-    m3min = jnp.minimum(jnp.minimum(_shift(cmin, 0, 1), cmin), _shift(cmin, 0, -1))
+    p = jnp.pad(dog, ((0, 0), (1, 1), (0, 0)))
+
+    # Per-plane 3-row column max/min, then full 3x3 per-plane extremes.
+    up, mid, dn = p[:, 0:h], dog, p[:, 2 : 2 + h]
+    cmax = jnp.maximum(jnp.maximum(up, mid), dn)
+    cmin = jnp.minimum(jnp.minimum(up, mid), dn)
+    pc = jnp.pad(cmax, ((0, 0), (0, 0), (1, 1)), constant_values=-jnp.inf)
+    qc = jnp.pad(cmin, ((0, 0), (0, 0), (1, 1)), constant_values=jnp.inf)
+    left_max, right_max = pc[:, :, 0:w], pc[:, :, 2 : 2 + w]
+    left_min, right_min = qc[:, :, 0:w], qc[:, :, 2 : 2 + w]
+    m3max = jnp.maximum(jnp.maximum(left_max, cmax), right_max)
+    m3min = jnp.minimum(jnp.minimum(left_min, cmin), right_min)
 
     center = dog[1:6]
-    # 8-neighbor max/min in the center plane (excludes the center pixel):
-    # side columns use the full 3-row extreme, the center column only y+-1.
-    vert2max = jnp.maximum(_shift(center, 1, 0), _shift(center, -1, 0))
-    vert2min = jnp.minimum(_shift(center, 1, 0), _shift(center, -1, 0))
-    p8max = jnp.maximum(
-        jnp.maximum(_shift(cmax[1:6], 0, 1), _shift(cmax[1:6], 0, -1)), vert2max
-    )
-    p8min = jnp.minimum(
-        jnp.minimum(_shift(cmin[1:6], 0, 1), _shift(cmin[1:6], 0, -1)), vert2min
-    )
+    # 8-neighbor extremes in the center plane (exclude the center pixel):
+    # side columns use the 3-row extreme, the center column only y+-1.
+    vert2max = jnp.maximum(up[1:6], dn[1:6])
+    vert2min = jnp.minimum(up[1:6], dn[1:6])
+    p8max = jnp.maximum(jnp.maximum(left_max[1:6], right_max[1:6]), vert2max)
+    p8min = jnp.minimum(jnp.minimum(left_min[1:6], right_min[1:6]), vert2min)
     nbrmax = jnp.maximum(jnp.maximum(m3max[0:5], m3max[2:7]), p8max)
     nbrmin = jnp.minimum(jnp.minimum(m3min[0:5], m3min[2:7]), p8min)
 
     mask = (center > jnp.maximum(thresh, nbrmax)) | (
         center < jnp.minimum(-thresh, nbrmin)
     )
-    interior = jnp.zeros((h, w), bool).at[1 : h - 1, 1 : w - 1].set(True)
+    yy = jnp.arange(h)
+    xx = jnp.arange(w)
+    interior = ((yy > 0) & (yy < h - 1))[:, None] & ((xx > 0) & (xx < w - 1))[None, :]
     return mask & interior
 
 
@@ -95,14 +89,29 @@ def compact_mask(mask: jnp.ndarray, capacity: int):
     ``count`` are zero. Overflowing candidates are dropped (the reference
     clamps into the last slot instead, cudaSiftD.cu:1421 — dropping is the
     cleaner fixed-capacity semantic and is reported via ``count``).
+
+    Implemented as cumsum + vectorized binary search for the k-th set bit:
+    a gather-only formulation (a flat scatter of H*W*5 updates serializes on
+    TPU; this replaces the reference's atomicInc with something better than
+    both).
     """
     flat = mask.reshape(-1)
-    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
-    count = jnp.minimum(pos[-1] + 1, capacity).astype(jnp.int32)
-    dest = jnp.where(flat, pos, capacity)
-    src = jnp.arange(flat.shape[0], dtype=jnp.int32)
-    out = jnp.zeros((capacity,), jnp.int32).at[dest].set(src, mode="drop")
-    return out, count
+    n = flat.shape[0]
+    csum = jnp.cumsum(flat.astype(jnp.int32))
+    total = csum[-1]
+    count = jnp.minimum(total, capacity).astype(jnp.int32)
+    targets = jnp.arange(1, capacity + 1, dtype=jnp.int32)
+    # Binary search: smallest i with csum[i] >= k  <=>  index of k-th set bit.
+    lo = jnp.zeros((capacity,), jnp.int32)
+    hi = jnp.full((capacity,), n - 1, jnp.int32)
+    steps = max(1, (n - 1).bit_length())
+    for _ in range(steps):
+        mid = (lo + hi) // 2
+        go_right = csum[mid] < targets
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    idx = jnp.where(targets <= total, lo, 0)
+    return idx, count
 
 
 def refine_candidates(
@@ -132,8 +141,13 @@ def refine_candidates(
     y = jnp.clip(y, 1, h - 2)
     x = jnp.clip(x, 1, w - 2)
 
+    # Flat scalar gathers of the 3x3x3 cube: on TPU a flat 1-D gather is
+    # several times faster than multi-dimensional dynamic-slice gathers.
+    flat = dog.reshape(-1)
+    base = (s + 1) * (h * w) + y * w + x
+
     def at(ds, dy, dx):
-        return dog[s + 1 + ds, y + dy, x + dx]
+        return flat[base + ds * (h * w) + dy * w + dx]
 
     val = at(0, 0, 0)
     dxx = 2.0 * val - at(0, 0, -1) - at(0, 0, 1)

@@ -66,8 +66,10 @@ def match_descriptors(
         col = tile_idx * tile + jnp.arange(tile, dtype=jnp.int32)
         scores = jnp.where((col < n2)[None, :], scores, neg)
         t_arg = jnp.argmax(scores, axis=1)
-        t_best = jnp.take_along_axis(scores, t_arg[:, None], axis=1)[:, 0]
-        masked = scores.at[jnp.arange(n1_cap), t_arg].set(neg)
+        t_best = jnp.max(scores, axis=1)
+        # Second-best via masked select (scatter-free; TPU scatters serialize).
+        in_tile = jnp.arange(tile, dtype=jnp.int32)
+        masked = jnp.where(in_tile[None, :] == t_arg[:, None], neg, scores)
         t_second = jnp.max(masked, axis=1)
         t_index = (col[0] + t_arg).astype(jnp.int32)
         # Merge two triples from disjoint index sets.

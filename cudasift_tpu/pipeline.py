@@ -29,9 +29,30 @@ import numpy as np
 from .config import SiftParams
 from .ops import convolve
 from .ops.detect import detect_octave
-from .ops.orient import compute_orientations
+from .ops.orient import compute_orientations, histogram_peaks
 from .ops.descriptor import extract_descriptors
 from .sift_data import SiftData
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() not in ("cpu",)
+
+
+def _orientations(base, xpos, ypos, scale, use_pallas):
+    if use_pallas and _on_tpu():
+        from .ops.pallas.orient import orientation_histograms_pallas
+
+        hist = orientation_histograms_pallas(base, xpos, ypos, scale)
+        return histogram_peaks(hist)
+    return compute_orientations(base, xpos, ypos, scale)
+
+
+def _descriptors(base, xpos, ypos, scale, orientation, use_pallas):
+    if use_pallas and _on_tpu():
+        from .ops.pallas.descriptor import extract_descriptors_pallas
+
+        return extract_descriptors_pallas(base, xpos, ypos, scale, orientation)
+    return extract_descriptors(base, xpos, ypos, scale, orientation)
 
 
 def _compact(fields: dict, valid: jnp.ndarray, capacity: int):
@@ -75,8 +96,8 @@ def _extract_octave(
     )
 
     scale_safe = jnp.where(cands.valid, cands.scale, 1.0)
-    primary, secondary, has_second = compute_orientations(
-        base, cands.xpos, cands.ypos, scale_safe
+    primary, secondary, has_second = _orientations(
+        base, cands.xpos, cands.ypos, scale_safe, params.use_pallas
     )
 
     # Primary points first, then second-peak duplicates — matching the
@@ -99,12 +120,13 @@ def _extract_octave(
     fields, count = _compact(fields, valid, desc_cap)
     slot_valid = jnp.arange(desc_cap) < count
 
-    desc = extract_descriptors(
+    desc = _descriptors(
         base,
         fields["xpos"],
         fields["ypos"],
         jnp.where(slot_valid, fields["scale"], 1.0),
         fields["orientation"],
+        params.use_pallas,
     )
     fields["data"] = jnp.where(slot_valid[:, None], desc, 0.0)
     fields["xpos"] = fields["xpos"] * subsampling

@@ -81,4 +81,4 @@ def test_descriptor_rotation_covariance(rng):
     np.testing.assert_allclose(np.linalg.norm(d0), 1.0, rtol=1e-5)
     # Values are clamped at 0.2 *before* the second normalization
     # (cudaSiftD.cu:398), so the final ceiling is 0.2/||clamped||.
-    assert d0.max() <= 0.2 / np.linalg.norm(np.minimum(d0, 0.2)) + 1e-4
+    assert d0.max() <= 0.2 / np.linalg.norm(np.minimum(d0, 0.2)) + 1e-3

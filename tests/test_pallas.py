@@ -1,0 +1,78 @@
+"""Pallas kernels vs their XLA twins (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import golden
+from cudasift_tpu.ops.descriptor import extract_descriptors
+from cudasift_tpu.ops.orient import orientation_histograms, histogram_peaks
+from cudasift_tpu.ops.pallas.descriptor import extract_descriptors_pallas
+from cudasift_tpu.ops.pallas.orient import orientation_histograms_pallas
+
+
+def make_image(rng, h=96, w=160):
+    img = (rng.standard_normal((h, w)) * 30 + 120).astype(np.float32)
+    return golden.sep_conv_clamp(img, golden.gaussian_kernel(2, 1.0)).astype(
+        np.float32
+    )
+
+
+def test_descriptor_kernel_matches_xla(rng):
+    img = make_image(rng)
+    n = 16
+    xp = jnp.asarray(rng.uniform(5, 150, n).astype(np.float32))
+    yp = jnp.asarray(rng.uniform(5, 90, n).astype(np.float32))
+    sc = jnp.asarray(rng.uniform(0.95, 1.87, n).astype(np.float32))
+    ori = jnp.asarray(rng.uniform(0, 360, n).astype(np.float32))
+    ours = np.asarray(
+        extract_descriptors_pallas(jnp.asarray(img), xp, yp, sc, ori, interpret=True)
+    )
+    ref = np.asarray(extract_descriptors(jnp.asarray(img), xp, yp, sc, ori))
+    assert ours.shape == (n, 128)
+    np.testing.assert_allclose(
+        np.linalg.norm(ours, axis=1), 1.0, atol=1e-4
+    )
+    # bf16 MXU sampling with mean-centered patches: ~1e-3 descriptor error.
+    err = np.abs(ours - ref).max(axis=1)
+    assert np.median(err) < 4e-3, err
+    assert err.max() < 2e-2, err
+
+
+def test_orientation_kernel_matches_xla(rng):
+    img = make_image(rng)
+    n = 16
+    xp = jnp.asarray(rng.uniform(5, 150, n).astype(np.float32))
+    yp = jnp.asarray(rng.uniform(5, 90, n).astype(np.float32))
+    sc = jnp.asarray(rng.uniform(0.95, 1.87, n).astype(np.float32))
+    ours = np.asarray(
+        orientation_histograms_pallas(jnp.asarray(img), xp, yp, sc, interpret=True)
+    )
+    ref = np.asarray(orientation_histograms(jnp.asarray(img), xp, yp, sc))
+    assert ours.shape == (n, 32)
+    # bf16 sampling can flip individual boundary samples between adjacent
+    # bins; the histograms must still be close in aggregate and the final
+    # peak orientations must agree (smoothing absorbs boundary flips).
+    for i in range(n):
+        c = np.corrcoef(ours[i], ref[i])[0, 1]
+        assert c > 0.995, (i, c)
+    p1, _, h1 = histogram_peaks(jnp.asarray(ours))
+    p2, _, h2 = histogram_peaks(jnp.asarray(ref))
+    d = np.abs(np.asarray(p1) - np.asarray(p2))
+    d = np.minimum(d, 360.0 - d)
+    assert np.median(d) < 0.2 and (d < 2.0).mean() >= 0.9, d
+
+
+def test_descriptor_kernel_vs_golden_direct(rng):
+    img = make_image(rng)
+    pts = [(22.4, 28.1, 1.3, 45.0), (83.0, 50.0, 1.8, 190.5)]
+    xp = jnp.asarray([p[0] for p in pts])
+    yp = jnp.asarray([p[1] for p in pts])
+    sc = jnp.asarray([p[2] for p in pts])
+    ori = jnp.asarray([p[3] for p in pts])
+    ours = np.asarray(
+        extract_descriptors_pallas(jnp.asarray(img), xp, yp, sc, ori, interpret=True)
+    )
+    for i, (x, y, s, o) in enumerate(pts):
+        ref = golden.extract_descriptor(img, x, y, s, o)
+        assert np.abs(ours[i] - ref).max() < 5e-3
