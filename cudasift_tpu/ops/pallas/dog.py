@@ -1,0 +1,146 @@
+"""Fused scale-space kernel: 8 Gaussian blurs -> 7 DoG planes -> extrema mask.
+
+TPU-native shape of LaplaceMultiMem + the scan half of FindPointsMultiNew
+(cudaSiftD.cu:1753-1793, 1292-1359). The reference reads the octave base once
+per row-strip into shared memory and emits DoG planes; the extrema scan then
+re-reads those planes. Here ONE kernel reads each image row-strip once (three
+overlapping row blocks, auto-pipelined by Pallas), computes all 8 separable
+blurs in VMEM with static-shift FMAs, differences them into 7 DoG planes, and
+evaluates the strict 3x3x3 extremum test in-register — the DoG stack is
+written once and the candidate mask costs no extra HBM reads.
+
+Geometry: grid over 16-row output strips; each program sees 48 padded input
+rows (halo 4 blur + 1 extremum on each side). The image is edge-padded in XLA
+(top 16, left 5) so every load is in-bounds and clamp-to-edge semantics hold.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TH = 16        # output rows per program
+R = 4          # Gaussian radius
+NS = 8         # Gaussian scales per octave
+
+
+def _dog_kernel(k_ref, a_ref, b_ref, c_ref, thr_ref, dims_ref,
+                dog_ref, mask_ref):
+    i = pl.program_id(0)
+    rows = jnp.concatenate([a_ref[:, :], b_ref[:, :], c_ref[:, :]], axis=0)
+    wp = rows.shape[1]
+    w_out = dog_ref.shape[2]
+    thresh = thr_ref[0]
+    height = dims_ref[0]
+    width = dims_ref[1]
+
+    # Vertical pass: 18 rows (16 + 1 extremum halo each side) per scale.
+    # Local input row l <-> image row 16*i + l - 16; dog row t needs image
+    # rows (t + 16*i) +- 4 -> l in [11 + j, 29 + j).
+    hors = []
+    for s in range(NS):
+        acc = k_ref[s, 0] * rows[11:29, :]
+        for j in range(1, 2 * R + 1):
+            acc = acc + k_ref[s, j] * rows[11 + j : 29 + j, :]
+        # Horizontal pass: img col m in [-1, w_out+1) uses padded cols
+        # m+1 .. m+9 (pad_left = 5).
+        hor = acc[:, 0 : w_out + 2] * k_ref[s, 0]
+        for j in range(1, 2 * R + 1):
+            hor = hor + k_ref[s, j] * acc[:, j : j + w_out + 2]
+        hors.append(hor)
+
+    dogs = [hors[s + 1] - hors[s] for s in range(NS - 1)]  # (18, w_out+2)
+
+    for s in range(NS - 1):
+        dog_ref[s, :, :] = dogs[s][1:17, 1 : w_out + 1]
+
+    # Strict 3x3x3 extremum test on the 5 middle planes.
+    row_g = (
+        jax.lax.broadcasted_iota(jnp.int32, (TH, w_out), 0) + i * TH
+    )
+    col_g = jax.lax.broadcasted_iota(jnp.int32, (TH, w_out), 1)
+    interior = (
+        (row_g >= 1) & (row_g <= height - 2) & (col_g >= 1) & (col_g <= width - 2)
+    )
+
+    for s in range(5):
+        c = dogs[s + 1][1:17, 1 : w_out + 1]
+        neg = jnp.float32(-jnp.inf)
+        pos = jnp.float32(jnp.inf)
+        nmax = jnp.full_like(c, neg)
+        nmin = jnp.full_like(c, pos)
+        for ds in (0, 1, 2):
+            plane = dogs[s + ds]
+            for dy in (0, 1, 2):
+                for dx in (0, 1, 2):
+                    if ds == 1 and dy == 1 and dx == 1:
+                        continue
+                    v = plane[dy : dy + TH, dx : dx + w_out]
+                    nmax = jnp.maximum(nmax, v)
+                    nmin = jnp.minimum(nmin, v)
+        is_ext = (c > jnp.maximum(thresh, nmax)) | (
+            c < jnp.minimum(-thresh, nmin)
+        )
+        mask_ref[s, :, :] = (is_ext & interior).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dog_and_mask_pallas(
+    img: jnp.ndarray,
+    kernels: jnp.ndarray,
+    thresh: float,
+    interpret: bool = False,
+):
+    """(dog (7, H, W) f32, mask (5, H, W) f32) for one octave.
+
+    ``kernels``: (8, 9) Gaussian taps for this octave (PrepareLaplaceKernels,
+    cudaSiftH.cu:439-458).
+    """
+    h, w = img.shape
+    nstrips = -(-h // TH)
+    hp = TH * (nstrips + 2)
+    wp = ((w + 10 + 127) // 128) * 128
+    img_p = jnp.pad(
+        img,
+        ((TH, hp - h - TH), (5, wp - w - 5)),
+        mode="edge",
+    )
+    ktab = jnp.zeros((8, 16), jnp.float32).at[:, :9].set(jnp.asarray(kernels))
+    thr = jnp.asarray([jnp.float32(thresh)])
+    dims = jnp.asarray([h, w], jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # thr, dims
+        grid=(nstrips,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),              # kernels
+            pl.BlockSpec((TH, wp), lambda i, *_: (i, 0)),       # rows block 0
+            pl.BlockSpec((TH, wp), lambda i, *_: (i + 1, 0)),   # rows block 1
+            pl.BlockSpec((TH, wp), lambda i, *_: (i + 2, 0)),   # rows block 2
+        ],
+        out_specs=(
+            pl.BlockSpec((7, TH, w), lambda i, *_: (0, i, 0)),
+            pl.BlockSpec((5, TH, w), lambda i, *_: (0, i, 0)),
+        ),
+    )
+    dog, mask = pl.pallas_call(
+        _kernel_entry,
+        out_shape=(
+            jax.ShapeDtypeStruct((7, TH * nstrips, w), jnp.float32),
+            jax.ShapeDtypeStruct((5, TH * nstrips, w), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(thr, dims, ktab, img_p, img_p, img_p)
+    return dog[:, :h, :], mask[:, :h, :] != 0.0
+
+
+def _kernel_entry(thr_ref, dims_ref, k_ref, a_ref, b_ref, c_ref,
+                  dog_ref, mask_ref):
+    _dog_kernel(k_ref, a_ref, b_ref, c_ref, thr_ref, dims_ref,
+                dog_ref, mask_ref)

@@ -1,0 +1,32 @@
+"""Fused blur+DoG+extrema kernel vs XLA twins (interpret mode)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import golden
+from cudasift_tpu.config import laplace_kernels
+from cudasift_tpu.ops import convolve, detect
+from cudasift_tpu.ops.pallas.dog import dog_and_mask_pallas
+
+
+def test_dog_and_mask_matches_xla(rng):
+    img = (rng.standard_normal((70, 150)) * 25 + 110).astype(np.float32)
+    img = golden.sep_conv_clamp(img, golden.gaussian_kernel(2, 1.0)).astype(
+        np.float32
+    )
+    ktab = laplace_kernels(2)[0]
+    dog, mask = dog_and_mask_pallas(
+        jnp.asarray(img), jnp.asarray(ktab), 0.8, interpret=True
+    )
+    blur = convolve.blur_multi(jnp.asarray(img), ktab)
+    dog_ref = blur[1:] - blur[:-1]
+    mask_ref = detect.extrema_mask(dog_ref, 0.8)
+    assert dog.shape == (7, 70, 150)
+    np.testing.assert_allclose(
+        np.asarray(dog), np.asarray(dog_ref), atol=2e-3, rtol=1e-4
+    )
+    got = set(zip(*np.nonzero(np.asarray(mask))))
+    ref = set(zip(*np.nonzero(np.asarray(mask_ref))))
+    # Identical up to float-order ties at the +-thresh boundary.
+    assert len(got.symmetric_difference(ref)) <= max(1, len(ref) // 100), (
+        len(got), len(ref))
