@@ -29,8 +29,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 B = 8          # keypoints per program
-P = 56         # patch rows (48 needed + 8 for sublane-aligned DMA origins)
-PW = 256       # patch cols (needed span + 128 for lane-aligned DMA origins)
+PR = 56        # DMA patch rows (48 needed + 8 for sublane-aligned origins)
+PWR = 256      # DMA patch cols (span + 128 for lane-aligned origins)
+P = 48         # compute patch rows (after in-kernel realignment roll)
+PW = 128       # compute patch cols
 S = 1024       # samples: 256 grid points x 4 taps
 MARGIN = 22    # patch origin offset; covers octave scales up to ~2.4
 
@@ -59,7 +61,7 @@ def _desc_kernel(oy_ref, ox_ref, img_ref, kpf_ref, out_ref, patch, sems):
         oy = pl.multiple_of(oy_ref[i], 8)
         ox = pl.multiple_of(ox_ref[i], 128)
         return pltpu.make_async_copy(
-            img_ref.at[pl.ds(oy, P), pl.ds(ox, PW)],
+            img_ref.at[pl.ds(oy, PR), pl.ds(ox, PWR)],
             patch.at[k],
             sems.at[k],
         )
@@ -79,6 +81,12 @@ def _desc_kernel(oy_ref, ox_ref, img_ref, kpf_ref, out_ref, patch, sems):
 
     for k in range(B):
         copy(k).wait()
+        # Realign: roll away the DMA-alignment residuals so compute runs on
+        # the minimal (48, 128) patch.
+        ry = kpf_ref[0, k, 6].astype(jnp.int32)
+        rx = kpf_ref[0, k, 7].astype(jnp.int32)
+        a = pltpu.roll(patch[k], (PR - ry) % PR, axis=0)[:P, :]
+        a = pltpu.roll(a, (PWR - rx) % PWR, axis=1)[:, :PW]
         lx0 = kpf_ref[0, k, 0]
         ly0 = kpf_ref[0, k, 1]
         scosa = kpf_ref[0, k, 2]
@@ -102,8 +110,8 @@ def _desc_kernel(oy_ref, ox_ref, img_ref, kpf_ref, out_ref, patch, sems):
         rows = jnp.maximum(0.0, 1.0 - jnp.abs(psub - sy))          # (P, S) f32
         cols = jnp.maximum(0.0, 1.0 - jnp.abs(qsub - sx)).astype(jnp.bfloat16)
 
-        mean = jnp.mean(patch[k])
-        pc = (patch[k] - mean).astype(jnp.bfloat16)                # (P, PW)
+        mean = jnp.mean(a)
+        pc = (a - mean).astype(jnp.bfloat16)                       # (P, PW)
         # T[p, s] = sum_q patch[p, q] * cols[q, s]   (MXU, f32 accum)
         t = jax.lax.dot_general(
             pc, cols, (((1,), (0,)), ((), ())),
@@ -166,11 +174,13 @@ def extract_descriptors_pallas(
     n = xpos.shape[0]
     # Edge-pad bottom/right so an aligned origin never needs a ceiling
     # clamp (replicated rows/cols equal what clamp addressing reads anyway).
-    img = jnp.pad(img, ((0, P), (0, PW)), mode="edge")
+    img = jnp.pad(img, ((0, PR), (0, PWR)), mode="edge")
     h, w = img.shape
 
-    oy = jnp.maximum(jnp.floor(ypos).astype(jnp.int32) - MARGIN, 0) // 8 * 8
-    ox = jnp.maximum(jnp.floor(xpos).astype(jnp.int32) - MARGIN, 0) // 128 * 128
+    o_y = jnp.maximum(jnp.floor(ypos).astype(jnp.int32) - MARGIN, 0)
+    o_x = jnp.maximum(jnp.floor(xpos).astype(jnp.int32) - MARGIN, 0)
+    oy = o_y // 8 * 8
+    ox = o_x // 128 * 128
 
     theta = (2.0 * 3.1415 / 360.0) * orientation
     sina = jnp.sin(theta)
@@ -178,14 +188,14 @@ def extract_descriptors_pallas(
     s12 = (12.0 / 16.0) * scale
     kpf = jnp.stack(
         [
-            xpos - ox.astype(jnp.float32),
-            ypos - oy.astype(jnp.float32),
+            xpos - o_x.astype(jnp.float32),
+            ypos - o_y.astype(jnp.float32),
             s12 * cosa,
             s12 * sina,
             cosa,
             sina,
-            jnp.zeros_like(xpos),
-            jnp.zeros_like(xpos),
+            (o_y - oy).astype(jnp.float32),
+            (o_x - ox).astype(jnp.float32),
         ],
         axis=-1,
     ).reshape(n // B, B, 8)
@@ -200,7 +210,7 @@ def extract_descriptors_pallas(
         ],
         out_specs=pl.BlockSpec((1, 128, B), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((B, P, PW), jnp.float32),
+            pltpu.VMEM((B, PR, PWR), jnp.float32),
             pltpu.SemaphoreType.DMA((B,)),
         ],
     )

@@ -33,8 +33,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 B = 8        # keypoints per program
-P = 24       # patch rows (window span + 8 for sublane-aligned DMA origins)
-PW = 256     # patch cols (window span + 128 for lane-aligned DMA origins)
+PR = 24      # DMA patch rows (window span + 8 for sublane-aligned origins)
+PWR = 256    # DMA patch cols (window span + 128 for lane-aligned origins)
+P = 16       # compute patch rows (after in-kernel realignment roll)
+PW = 128     # compute patch cols
 S = 256      # 13x13 = 169 integer grid values, padded to 256 lanes
 MARGIN = 7
 
@@ -67,7 +69,7 @@ def _ori_kernel(oy_ref, ox_ref, img_ref, kpf_ref, out_ref, patch, sems):
         oy = pl.multiple_of(oy_ref[i], 8)
         ox = pl.multiple_of(ox_ref[i], 128)
         return pltpu.make_async_copy(
-            img_ref.at[pl.ds(oy, P), pl.ds(ox, PW)],
+            img_ref.at[pl.ds(oy, PR), pl.ds(ox, PWR)],
             patch.at[k],
             sems.at[k],
         )
@@ -86,15 +88,19 @@ def _ori_kernel(oy_ref, ox_ref, img_ref, kpf_ref, out_ref, patch, sems):
 
     for k in range(B):
         copy(k).wait()
-        cbase = kpf_ref[0, k, 0].astype(jnp.int32)   # floor(x) - ox - 6
-        rbase = kpf_ref[0, k, 1].astype(jnp.int32)   # floor(y) - oy - 6
+        cbase = kpf_ref[0, k, 0].astype(jnp.int32)   # floor(x) - o_x - 6
+        rbase = kpf_ref[0, k, 1].astype(jnp.int32)   # floor(y) - o_y - 6
         fx = kpf_ref[0, k, 2]
         fy = kpf_ref[0, k, 3]
         i2sigma2 = kpf_ref[0, k, 4]
+        ry = kpf_ref[0, k, 5].astype(jnp.int32)
+        rx = kpf_ref[0, k, 6].astype(jnp.int32)
 
-        # One f32 bilinear shift of the whole patch by (fy, fx): afterwards
-        # every tex tap is an integer read.
-        a = patch[k]
+        # Realign: roll away the DMA-alignment residuals, then one f32
+        # bilinear shift of the patch by (fy, fx): afterwards every tex tap
+        # is an integer read.
+        a = pltpu.roll(patch[k], (PR - ry) % PR, axis=0)[:P, :]
+        a = pltpu.roll(a, (PWR - rx) % PWR, axis=1)[:, :PW]
         a_x = pltpu.roll(a, PW - 1, axis=1)
         a_y = pltpu.roll(a, P - 1, axis=0)
         a_xy = pltpu.roll(a_x, P - 1, axis=0)
@@ -151,22 +157,24 @@ def orientation_histograms_pallas(
         xpos, ypos, scale = (jnp.pad(a, (0, pad)) for a in (xpos, ypos, scale))
         scale = scale.at[n_in:].set(1.0)
     n = xpos.shape[0]
-    img = jnp.pad(img, ((0, P), (0, PW)), mode="edge")
+    img = jnp.pad(img, ((0, PR), (0, PWR)), mode="edge")
 
     fl_x = jnp.floor(xpos)
     fl_y = jnp.floor(ypos)
-    oy = jnp.maximum(fl_y.astype(jnp.int32) - MARGIN, 0) // 8 * 8
-    ox = jnp.maximum(fl_x.astype(jnp.int32) - MARGIN, 0) // 128 * 128
+    o_y = jnp.maximum(fl_y.astype(jnp.int32) - MARGIN, 0)
+    o_x = jnp.maximum(fl_x.astype(jnp.int32) - MARGIN, 0)
+    oy = o_y // 8 * 8
+    ox = o_x // 128 * 128
     i2sigma2 = -1.0 / (2.0 * 1.5 * 1.5 * scale * scale)
     kpf = jnp.stack(
         [
-            fl_x - ox.astype(jnp.float32) - 6.0,
-            fl_y - oy.astype(jnp.float32) - 6.0,
+            fl_x - o_x.astype(jnp.float32) - 6.0,
+            fl_y - o_y.astype(jnp.float32) - 6.0,
             xpos - fl_x,
             ypos - fl_y,
             i2sigma2,
-            jnp.zeros_like(xpos),
-            jnp.zeros_like(xpos),
+            (o_y - oy).astype(jnp.float32),
+            (o_x - ox).astype(jnp.float32),
             jnp.zeros_like(xpos),
         ],
         axis=-1,
@@ -182,7 +190,7 @@ def orientation_histograms_pallas(
         ],
         out_specs=pl.BlockSpec((1, 32, B), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((B, P, PW), jnp.float32),
+            pltpu.VMEM((B, PR, PWR), jnp.float32),
             pltpu.SemaphoreType.DMA((B,)),
         ],
     )
