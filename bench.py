@@ -24,31 +24,43 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def device_time(traced_fn, iters=20):
-    """True per-call device time: run ``traced_fn(i)`` ``iters`` times inside
-    one jitted fori_loop (the iteration index perturbs the input so nothing
-    hoists), reducing each result to a scalar carried through the loop.
+def device_time(traced_fn, chain=8, reps=7):
+    """True per-call device time by differencing two chained programs.
 
-    This is the only honest timing on this backend: each host->device
-    dispatch costs ~40 ms through the tunnel and block_until_ready returns
-    early, so per-call wall timing measures the tunnel, not the kernel.
+    ``traced_fn(p)`` must accept a small traced float perturbation ``p`` that
+    it adds to its input (defeats hoisting/CSE); each result feeds the next
+    call's perturbation, so a chain of N calls serializes on device. Per-call
+    time = (wall(chain=N) - wall(chain=1)) / (N - 1), which cancels both the
+    ~40 ms tunnel dispatch and any fixed program overhead. (fori_loop-based
+    timing is unusable here: each loop iteration syncs with the host through
+    the tunnel, costing ~0.3 ms/iteration.)
     """
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def loop():
-        def body(i, acc):
-            out = traced_fn(i)
-            leaf = jax.tree.leaves(out)[0]
-            return acc + leaf.reshape(-1)[0].astype(jnp.float32)
+    def make(n):
+        def g():
+            acc = jnp.float32(0)
+            for _ in range(n):
+                out = traced_fn(acc * jnp.float32(1e-30))
+                leaf = jax.tree.leaves(out)[0]
+                acc = acc + leaf.reshape(-1)[0].astype(jnp.float32)
+            return acc
 
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+        return jax.jit(g)
 
-    float(loop())  # compile + warm
-    t0 = time.perf_counter()
-    float(loop())
-    return (time.perf_counter() - t0) * 1e3 / iters
+    def wall(f):
+        float(f())  # compile + warm
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f())
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[reps // 2] * 1e3
+
+    t1 = wall(make(1))
+    tn = wall(make(chain))
+    return max((tn - t1) / (chain - 1), 0.0)
 
 
 def make_test_image(h, w, seed=0):
@@ -81,7 +93,7 @@ def main():
     import jax.numpy as jnp
 
     import cudasift_tpu as cs
-    from cudasift_tpu.ops.match import match_descriptors
+    from cudasift_tpu.ops.pallas.match import match_descriptors_pallas
 
     dev = jax.devices()[0]
     log(f"device: {dev}")
@@ -96,7 +108,9 @@ def main():
                                max_pts=32768)
         d = cs.extract_sift(img, params)
         log(f"extract {w}x{h}: numPts={int(d.num_pts)}")
-        ms = device_time(lambda i: _extract_sift_traced(img + i * eps, params))
+        ms = device_time(
+            lambda p: _extract_sift_traced(img + p, params), chain=4
+        )
         results[f"extract_{w}x{h}_ms"] = ms
         log(f"extract {w}x{h}: {ms:.3f} ms")
 
@@ -110,10 +124,10 @@ def main():
         j1, j2 = jnp.asarray(d1), jnp.asarray(d2)
         nn = jnp.int32(n)
         ms = device_time(
-            lambda i: match_descriptors(j1 + i * eps, j2, nn, nn, tile=2048)
+            lambda p: match_descriptors_pallas(j1 + p, j2, nn, nn), chain=32
         )
         results[f"match_{tag}_ms"] = ms
-        gflops = 2 * n * n * 128 / (ms * 1e-3) / 1e9
+        gflops = 2 * n * n * 128 / (max(ms, 1e-3) * 1e-3) / 1e9
         log(f"match {tag}x{tag}: {ms:.3f} ms ({gflops:.0f} GFLOPS)")
 
     primary = results["extract_1920x1080_ms"]

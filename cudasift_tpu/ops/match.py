@@ -97,13 +97,26 @@ def match_descriptors(
 
 
 def match_sift_data(
-    data1: SiftData, data2: SiftData, tile: int = 2048, use_bf16: bool = False
+    data1: SiftData, data2: SiftData, tile: int = 2048, use_bf16: bool = False,
+    use_pallas: bool = True,
 ) -> SiftData:
     """MatchSiftData (matching.cu:1090-1206): fill score/ambiguity/match and
-    the matched point's coordinates into ``data1``."""
-    best, ambiguity, index = match_descriptors(
-        data1.data, data2.data, data1.num_pts, data2.num_pts, tile, use_bf16
-    )
+    the matched point's coordinates into ``data1``.
+
+    On TPU the fused Pallas matcher runs by default; the XLA scan matcher is
+    the CPU / fallback path.
+    """
+    if use_pallas and jax.default_backend() not in ("cpu",):
+        from .pallas.match import match_descriptors_pallas
+
+        best, ambiguity, index = match_descriptors_pallas(
+            data1.data, data2.data, data1.num_pts, data2.num_pts,
+            use_bf16=use_bf16,
+        )
+    else:
+        best, ambiguity, index = match_descriptors(
+            data1.data, data2.data, data1.num_pts, data2.num_pts, tile, use_bf16
+        )
     valid = data1.valid_mask()
     z = jnp.float32(0.0)
     return SiftData(

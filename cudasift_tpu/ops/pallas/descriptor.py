@@ -51,8 +51,9 @@ def _fast_atan2(y, x):
     return jnp.where(y < 0, -r, r)
 
 
-def _desc_kernel(oy_ref, ox_ref, img_ref, kpf_ref, out_ref, patch, sems):
+def _desc_kernel(oy_ref, ox_ref, cnt_ref, img_ref, kpf_ref, out_ref, patch, sems):
     blk = pl.program_id(0)
+    total = cnt_ref[0]
 
     def copy(k):
         i = blk * B + k
@@ -67,7 +68,9 @@ def _desc_kernel(oy_ref, ox_ref, img_ref, kpf_ref, out_ref, patch, sems):
         )
 
     for k in range(B):
-        copy(k).start()
+        @pl.when(blk * B + k < total)
+        def _():
+            copy(k).start()
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
     tap = lane // 256
@@ -80,6 +83,28 @@ def _desc_kernel(oy_ref, ox_ref, img_ref, kpf_ref, out_ref, patch, sems):
     dsub = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
 
     for k in range(B):
+        live = blk * B + k < total
+
+        @pl.when(jnp.logical_not(live))
+        def _():
+            out_ref[0, :, k] = jnp.zeros((128,), jnp.float32)
+
+        @pl.when(live)
+        def _():
+            _desc_one(k, oy_ref, ox_ref, kpf_ref, out_ref, patch, sems, copy)
+
+
+def _desc_one(k, oy_ref, ox_ref, kpf_ref, out_ref, patch, sems, copy):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    tap = lane // 256
+    rem = lane - tap * 256
+    gy = (rem // 16).astype(jnp.float32) - 7.5
+    gx = (rem - (rem // 16) * 16).astype(jnp.float32) - 7.5
+    psub = jax.lax.broadcasted_iota(jnp.int32, (P, S), 0).astype(jnp.float32)
+    qsub = jax.lax.broadcasted_iota(jnp.int32, (PW, S), 0).astype(jnp.float32)
+    lane256 = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+    dsub = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+    if True:
         copy(k).wait()
         # Realign: roll away the DMA-alignment residuals so compute runs on
         # the minimal (48, 128) patch.
@@ -163,9 +188,16 @@ def extract_descriptors_pallas(
     scale: jnp.ndarray,
     orientation: jnp.ndarray,
     interpret: bool = False,
+    count: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """(N, 128) descriptors; Pallas twin of ops.descriptor.extract_descriptors."""
+    """(N, 128) descriptors; Pallas twin of ops.descriptor.extract_descriptors.
+
+    ``count``: number of live keypoints — programs covering only slots past
+    it skip their DMAs and compute entirely (capacity padding is free).
+    """
     n_in = xpos.shape[0]
+    if count is None:
+        count = jnp.int32(n_in)
     pad = (-n_in) % B
     if pad:
         xpos, ypos, scale, orientation = (
@@ -202,7 +234,7 @@ def extract_descriptors_pallas(
 
     nb = n // B
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -219,7 +251,7 @@ def extract_descriptors_pallas(
         out_shape=jax.ShapeDtypeStruct((nb, 128, B), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(oy, ox, img, kpf)
+    )(oy, ox, jnp.atleast_1d(jnp.asarray(count, jnp.int32)), img, kpf)
     # (nb, 128, B) -> (N, 128): the kernel writes descriptors column-wise
     # (sublane-major) to avoid an in-kernel transpose.
     return out.transpose(0, 2, 1).reshape(n, 128)[:n_in]

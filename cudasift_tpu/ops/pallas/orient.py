@@ -61,8 +61,9 @@ def _atan2_poly(y, x):
     return jnp.where(y < 0, -r, r)
 
 
-def _ori_kernel(oy_ref, ox_ref, img_ref, kpf_ref, out_ref, patch, sems):
+def _ori_kernel(oy_ref, ox_ref, cnt_ref, img_ref, kpf_ref, out_ref, patch, sems):
     blk = pl.program_id(0)
+    total = cnt_ref[0]
 
     def copy(k):
         i = blk * B + k
@@ -75,7 +76,9 @@ def _ori_kernel(oy_ref, ox_ref, img_ref, kpf_ref, out_ref, patch, sems):
         )
 
     for k in range(B):
-        copy(k).start()
+        @pl.when(blk * B + k < total)
+        def _():
+            copy(k).start()
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
     uy = lane // 13
@@ -87,6 +90,26 @@ def _ori_kernel(oy_ref, ox_ref, img_ref, kpf_ref, out_ref, patch, sems):
     win_ok = ((ux <= 10) & (uy <= 10) & (lane < 169)).astype(jnp.float32)
 
     for k in range(B):
+        live = blk * B + k < total
+
+        @pl.when(jnp.logical_not(live))
+        def _():
+            out_ref[0, :, k] = jnp.zeros((32,), jnp.float32)
+
+        @pl.when(live)
+        def _():
+            _ori_one(k, kpf_ref, out_ref, patch, copy)
+
+
+def _ori_one(k, kpf_ref, out_ref, patch, copy):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    uy = lane // 13
+    ux = lane - uy * 13
+    psub = jax.lax.broadcasted_iota(jnp.int32, (P, S), 0)
+    qsub = jax.lax.broadcasted_iota(jnp.int32, (PW, S), 0)
+    csub = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0).astype(jnp.float32)
+    win_ok = ((ux <= 10) & (uy <= 10) & (lane < 169)).astype(jnp.float32)
+    if True:
         copy(k).wait()
         cbase = kpf_ref[0, k, 0].astype(jnp.int32)   # floor(x) - o_x - 6
         rbase = kpf_ref[0, k, 1].astype(jnp.int32)   # floor(y) - o_y - 6
@@ -149,9 +172,15 @@ def orientation_histograms_pallas(
     ypos: jnp.ndarray,
     scale: jnp.ndarray,
     interpret: bool = False,
+    count: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """(N, 32) histograms; Pallas twin of ops.orient.orientation_histograms."""
+    """(N, 32) histograms; Pallas twin of ops.orient.orientation_histograms.
+
+    ``count``: number of live keypoints — programs past it skip entirely.
+    """
     n_in = xpos.shape[0]
+    if count is None:
+        count = jnp.int32(n_in)
     pad = (-n_in) % B
     if pad:
         xpos, ypos, scale = (jnp.pad(a, (0, pad)) for a in (xpos, ypos, scale))
@@ -182,7 +211,7 @@ def orientation_histograms_pallas(
 
     nb = n // B
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -199,5 +228,5 @@ def orientation_histograms_pallas(
         out_shape=jax.ShapeDtypeStruct((nb, 32, B), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(oy, ox, img, kpf)
+    )(oy, ox, jnp.atleast_1d(jnp.asarray(count, jnp.int32)), img, kpf)
     return out.transpose(0, 2, 1).reshape(n, 32)[:n_in]

@@ -38,20 +38,22 @@ def _on_tpu() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
-def _orientations(base, xpos, ypos, scale, use_pallas):
+def _orientations(base, xpos, ypos, scale, use_pallas, count=None):
     if use_pallas and _on_tpu():
         from .ops.pallas.orient import orientation_histograms_pallas
 
-        hist = orientation_histograms_pallas(base, xpos, ypos, scale)
+        hist = orientation_histograms_pallas(base, xpos, ypos, scale, count=count)
         return histogram_peaks(hist)
     return compute_orientations(base, xpos, ypos, scale)
 
 
-def _descriptors(base, xpos, ypos, scale, orientation, use_pallas):
+def _descriptors(base, xpos, ypos, scale, orientation, use_pallas, count=None):
     if use_pallas and _on_tpu():
         from .ops.pallas.descriptor import extract_descriptors_pallas
 
-        return extract_descriptors_pallas(base, xpos, ypos, scale, orientation)
+        return extract_descriptors_pallas(
+            base, xpos, ypos, scale, orientation, count=count
+        )
     return extract_descriptors(base, xpos, ypos, scale, orientation)
 
 
@@ -97,7 +99,8 @@ def _extract_octave(
 
     scale_safe = jnp.where(cands.valid, cands.scale, 1.0)
     primary, secondary, has_second = _orientations(
-        base, cands.xpos, cands.ypos, scale_safe, params.use_pallas
+        base, cands.xpos, cands.ypos, scale_safe, params.use_pallas,
+        count=cands.count,
     )
 
     # Primary points first, then second-peak duplicates — matching the
@@ -127,6 +130,7 @@ def _extract_octave(
         jnp.where(slot_valid, fields["scale"], 1.0),
         fields["orientation"],
         params.use_pallas,
+        count=count,
     )
     fields["data"] = jnp.where(slot_valid[:, None], desc, 0.0)
     fields["xpos"] = fields["xpos"] * subsampling

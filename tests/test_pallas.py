@@ -76,3 +76,24 @@ def test_descriptor_kernel_vs_golden_direct(rng):
     for i, (x, y, s, o) in enumerate(pts):
         ref = golden.extract_descriptor(img, x, y, s, o)
         assert np.abs(ours[i] - ref).max() < 5e-3
+
+
+def test_match_kernel_matches_golden(rng):
+    from cudasift_tpu.ops.pallas.match import match_descriptors_pallas
+    import jax
+
+    d1 = rng.standard_normal((300, 128)).astype(np.float32)
+    d1 /= np.linalg.norm(d1, axis=1, keepdims=True)
+    d2 = rng.standard_normal((500, 128)).astype(np.float32)
+    d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
+    n1, n2 = 300, 443
+    best, amb, idx = match_descriptors_pallas(
+        jnp.asarray(d1), jnp.asarray(d2), jnp.int32(n1), jnp.int32(n2),
+        interpret=True,
+    )
+    gb, ga, gi = golden.match_brute_force(
+        d1[:n1].astype(np.float64), d2[:n2].astype(np.float64)
+    )
+    np.testing.assert_array_equal(np.asarray(idx)[:n1], gi)
+    np.testing.assert_allclose(np.asarray(best)[:n1], gb, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(amb)[:n1], ga, rtol=1e-4, atol=1e-5)
