@@ -124,8 +124,11 @@ def main():
         j1, j2 = jnp.asarray(d1), jnp.asarray(d2)
         nn = jnp.int32(n)
         ms = device_time(
-            lambda p: match_descriptors_pallas(j1 + p, j2, nn, nn), chain=32
+            lambda p: match_descriptors_pallas(j1 + p, j2, nn, nn),
+            chain=96 if n <= 4096 else 16,
         )
+        # Differential timing resolves ~10us; clamp to its floor.
+        ms = max(ms, 0.01)
         results[f"match_{tag}_ms"] = ms
         gflops = 2 * n * n * 128 / (max(ms, 1e-3) * 1e-3) / 1e9
         log(f"match {tag}x{tag}: {ms:.3f} ms ({gflops:.0f} GFLOPS)")

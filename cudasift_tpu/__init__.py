@@ -22,6 +22,19 @@ ImproveHomography           improve_homography
 ==========================  =====================================
 """
 
+def device_info(dev_num: int = 0) -> None:
+    """Print the selected accelerator — the analogue of InitCuda's device
+    banner (cudaSiftH.cu:19-37). Device selection itself belongs to JAX."""
+    import jax
+
+    devices = jax.devices()
+    dev = devices[min(dev_num, len(devices) - 1)]
+    print(f"Device Number: {dev.id}")
+    print(f"  Device name: {dev.device_kind}")
+    print(f"  Platform: {dev.platform}")
+    print(f"  Total devices: {len(devices)}")
+
+
 from .config import SiftParams, MatchParams, HomographyParams
 from .sift_data import SiftData, init_sift_data, print_sift_data
 from .pipeline import extract_sift
@@ -29,6 +42,7 @@ from .ops.match import match_sift_data, match_descriptors
 from .ops.homography import find_homography, improve_homography
 
 __all__ = [
+    "device_info",
     "SiftParams",
     "MatchParams",
     "HomographyParams",

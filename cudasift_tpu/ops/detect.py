@@ -90,27 +90,53 @@ def compact_mask(mask: jnp.ndarray, capacity: int):
     clamps into the last slot instead, cudaSiftD.cu:1421 — dropping is the
     cleaner fixed-capacity semantic and is reported via ``count``).
 
-    Implemented as cumsum + vectorized binary search for the k-th set bit:
-    a gather-only formulation (a flat scatter of H*W*5 updates serializes on
-    TPU; this replaces the reference's atomicInc with something better than
-    both).
+    Implemented as a radix-128 hierarchical rank search: per-chunk popcounts
+    build a small pyramid; each selected slot descends it with one row-gather
+    + 128-lane cumsum per level. Everything is dense VPU work plus two or
+    three small gathers — no flat scatter (serializes on TPU), no
+    full-length cumsum, no O(capacity * N) comparisons.
     """
-    flat = mask.reshape(-1)
+    radix = 128
+    flat = mask.reshape(-1).astype(jnp.int32)
     n = flat.shape[0]
-    csum = jnp.cumsum(flat.astype(jnp.int32))
-    total = csum[-1]
+    pad = (-n) % radix
+    if pad:
+        flat = jnp.pad(flat, (0, pad))
+
+    # Pyramid: levels[0] = (n/128, 128) mask chunks; each higher level holds
+    # the previous level's chunk sums, re-chunked by 128.
+    levels = []
+    cur = flat.reshape(-1, radix)
+    levels.append(cur)
+    while cur.shape[0] > radix:
+        sums = cur.sum(axis=1)
+        spad = (-sums.shape[0]) % radix
+        if spad:
+            sums = jnp.pad(sums, (0, spad))
+        cur = sums.reshape(-1, radix)
+        levels.append(cur)
+    top = cur.sum(axis=1)  # (<=128,)
+    top_cum = jnp.cumsum(top)
+    total = top_cum[-1]
     count = jnp.minimum(total, capacity).astype(jnp.int32)
-    targets = jnp.arange(1, capacity + 1, dtype=jnp.int32)
-    # Binary search: smallest i with csum[i] >= k  <=>  index of k-th set bit.
-    lo = jnp.zeros((capacity,), jnp.int32)
-    hi = jnp.full((capacity,), n - 1, jnp.int32)
-    steps = max(1, (n - 1).bit_length())
-    for _ in range(steps):
-        mid = (lo + hi) // 2
-        go_right = csum[mid] < targets
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-    idx = jnp.where(targets <= total, lo, 0)
+
+    targets = jnp.arange(1, capacity + 1, dtype=jnp.int32)  # rank k, 1-based
+    # Top level: index of first entry with cumsum >= k, and the prefix total.
+    below = top_cum[None, :] < targets[:, None]              # (cap, <=128)
+    node = below.sum(axis=1).astype(jnp.int32)
+    start = jnp.sum(jnp.where(below, top[None, :], 0), axis=1)
+
+    # Descend: at each level gather the selected rows, rank within them.
+    for lvl in reversed(levels):
+        rows = lvl[node]                                     # (cap, 128)
+        cum = jnp.cumsum(rows, axis=1)
+        rank = (targets - start)[:, None]                    # 1-based in-node
+        below = cum < rank
+        loc = below.sum(axis=1).astype(jnp.int32)
+        start = start + jnp.sum(jnp.where(below, rows, 0), axis=1)
+        node = node * radix + loc
+
+    idx = jnp.where(targets <= total, node, 0)
     return idx, count
 
 
@@ -141,13 +167,26 @@ def refine_candidates(
     y = jnp.clip(y, 1, h - 2)
     x = jnp.clip(x, 1, w - 2)
 
-    # Flat scalar gathers of the 3x3x3 cube: on TPU a flat 1-D gather is
-    # several times faster than multi-dimensional dynamic-slice gathers.
-    flat = dog.reshape(-1)
-    base = (s + 1) * (h * w) + y * w + x
+    # Gather the 3x3x3 cube from a channels-last packing: 9 row-gathers of
+    # 8-channel (32 B contiguous) rows per candidate instead of 27 scalar
+    # gathers — TPU gathers are latency-bound per index, so fewer, fatter
+    # indices win. Scale selection then happens densely via channel masks.
+    packed = jnp.pad(jnp.moveaxis(dog, 0, -1), ((0, 0), (0, 0), (0, 1)))
+    packed = packed.reshape(h * w, 8)
+    offs = jnp.asarray(
+        [dy * w + dx for dy in (-1, 0, 1) for dx in (-1, 0, 1)], jnp.int32
+    )
+    rows9 = packed[(y * w + x)[:, None] + offs[None, :]]     # (K, 9, 8)
+    ch = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 8), 2)
+    cube = [
+        jnp.sum(
+            jnp.where(ch == (s + j)[:, None, None], rows9, 0.0), axis=2
+        )
+        for j in range(3)
+    ]  # 3 x (K, 9): scale planes s, s+1, s+2
 
     def at(ds, dy, dx):
-        return flat[base + ds * (h * w) + dy * w + dx]
+        return cube[ds + 1][:, (dy + 1) * 3 + (dx + 1)]
 
     val = at(0, 0, 0)
     dxx = 2.0 * val - at(0, 0, -1) - at(0, 0, 1)

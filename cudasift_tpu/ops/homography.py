@@ -225,6 +225,11 @@ def improve_homography(
     def body(_, h):
         err = errors(h)
         w = (gated & (err < limit)).astype(jnp.float32)
+        # An 8-parameter solve needs >= 4 correspondences (8 equations);
+        # with fewer the normal equations are singular — keep the current
+        # homography instead of collapsing (the reference feeds the same
+        # near-empty systems to cv::solve and gets garbage back).
+        enough = jnp.sum(w) >= 8.0
         m = (
             jnp.einsum("ni,nj,n->ij", ya, ya, w, precision="highest")
             + jnp.einsum("ni,nj,n->ij", yb, yb, w, precision="highest")
@@ -238,7 +243,8 @@ def improve_homography(
         hn = jnp.concatenate([a, jnp.ones((1,), a.dtype)]).reshape(3, 3)
         h_new = t2inv @ hn @ t1
         h_new = h_new / h_new[2, 2]
-        return jnp.where(jnp.all(jnp.isfinite(h_new)), h_new, h)
+        ok = enough & jnp.all(jnp.isfinite(h_new))
+        return jnp.where(ok, h_new, h)
 
     h = homography / homography[2, 2]
     h = jax.lax.fori_loop(0, num_loops, body, h)

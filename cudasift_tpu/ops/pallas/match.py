@@ -35,7 +35,8 @@ def _match_kernel(n2_ref, d1_ref, d2_ref, out_ref, use_bf16: bool):
         a = a.astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)
     scores = jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=None if use_bf16 else jax.lax.Precision.HIGHEST,
     )  # (T1, T2)
 
     neg = jnp.float32(-1e30)
