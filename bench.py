@@ -100,7 +100,6 @@ def main():
 
     from cudasift_tpu.pipeline import _extract_sift_traced
 
-    eps = jnp.float32(1e-30)
     results = {}
     for (h, w) in [(960, 1280), (1080, 1920)]:
         img = jnp.asarray(make_test_image(h, w))
