@@ -108,7 +108,7 @@ def main():
         d = cs.extract_sift(img, params)
         log(f"extract {w}x{h}: numPts={int(d.num_pts)}")
         ms = device_time(
-            lambda p: _extract_sift_traced(img + p, params), chain=4
+            lambda p: _extract_sift_traced(img + p, params), chain=6, reps=11
         )
         results[f"extract_{w}x{h}_ms"] = ms
         log(f"extract {w}x{h}: {ms:.3f} ms")
@@ -122,14 +122,17 @@ def main():
         d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
         j1, j2 = jnp.asarray(d1), jnp.asarray(d2)
         nn = jnp.int32(n)
+        flops = 2.0 * n * n * 128
         ms = device_time(
             lambda p: match_descriptors_pallas(j1 + p, j2, nn, nn),
-            chain=96 if n <= 4096 else 16,
+            chain=96 if n <= 4096 else 24, reps=11,
         )
-        # Differential timing resolves ~10us; clamp to its floor.
-        ms = max(ms, 0.01)
+        # Differential timing on a shared chip can under-measure; clamp to
+        # the v5e MXU physics floor (~200 TFLOP/s bf16) and the ~10us
+        # measurement resolution.
+        ms = max(ms, 0.01, flops / 200e12 * 1e3)
         results[f"match_{tag}_ms"] = ms
-        gflops = 2 * n * n * 128 / (max(ms, 1e-3) * 1e-3) / 1e9
+        gflops = flops / (ms * 1e-3) / 1e9
         log(f"match {tag}x{tag}: {ms:.3f} ms ({gflops:.0f} GFLOPS)")
 
     primary = results["extract_1920x1080_ms"]
