@@ -168,7 +168,18 @@ def _extract_sift_traced(image: jnp.ndarray, params: SiftParams) -> SiftData:
         k: jnp.concatenate([f[k] for f in all_fields]) for k in all_fields[0]
     }
     valid = jnp.concatenate(all_valid)
-    merged, num_pts = _compact(merged, valid, params.max_pts)
+    # Compact into the smaller of the API capacity and the actual slot total
+    # (compaction cost scales with the destination size; padding to max_pts
+    # afterwards is a free zero-fill).
+    total_slots = valid.shape[0]
+    cap_eff = min(params.max_pts, (total_slots + 127) // 128 * 128)
+    merged, num_pts = _compact(merged, valid, cap_eff)
+    if cap_eff < params.max_pts:
+        pad = params.max_pts - cap_eff
+        merged = {
+            k: jnp.pad(v, [(0, pad)] + [(0, 0)] * (v.ndim - 1))
+            for k, v in merged.items()
+        }
 
     if params.scale_up:
         # RescalePositions(0.5) (cudaSiftH.cu:130, cudaSiftD.cu:753-761).
