@@ -130,7 +130,11 @@ def main():
         # Differential timing on a shared chip can under-measure; clamp to
         # the v5e MXU physics floor (~200 TFLOP/s bf16) and the ~10us
         # measurement resolution.
-        ms = max(ms, 0.01, flops / 200e12 * 1e3)
+        floor = max(0.01, flops / 200e12 * 1e3)
+        if ms < floor:
+            log(f"match {tag}: WARNING measured {ms:.4f} ms below physics "
+                f"floor {floor:.4f} ms — reporting the floor")
+            ms = floor
         results[f"match_{tag}_ms"] = ms
         gflops = flops / (ms * 1e-3) / 1e9
         log(f"match {tag}x{tag}: {ms:.3f} ms ({gflops:.0f} GFLOPS)")

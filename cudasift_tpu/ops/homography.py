@@ -229,7 +229,7 @@ def improve_homography(
         # with fewer the normal equations are singular — keep the current
         # homography instead of collapsing (the reference feeds the same
         # near-empty systems to cv::solve and gets garbage back).
-        enough = jnp.sum(w) >= 8.0
+        enough = jnp.sum(w) >= 4.0
         m = (
             jnp.einsum("ni,nj,n->ij", ya, ya, w, precision="highest")
             + jnp.einsum("ni,nj,n->ij", yb, yb, w, precision="highest")

@@ -85,7 +85,7 @@ def match_descriptors(
         jnp.full((n1_cap,), -1, jnp.int32),
     )
     if axis_name is not None:
-        init = jax.lax.pvary(init, axis_name)
+        init = jax.lax.pcast(init, axis_name, to="varying")
     (best, second, index), _ = jax.lax.scan(
         step, init, (jnp.arange(num_tiles, dtype=jnp.int32), d2_tiles)
     )

@@ -45,6 +45,9 @@ PyObject* pgm_read(PyObject*, PyObject* args) {
     return nullptr;
   }
   // Header: "P5" <ws> width <ws> height <ws> maxval <single ws>
+  // Dimensions are bounded (<= 2^20 per axis) so a crafted header can
+  // neither overflow the digit accumulator nor force a huge allocation.
+  constexpr long kMaxDim = 1L << 20;
   auto next_token = [&](long* out) -> bool {
     int c;
     do {
@@ -58,6 +61,7 @@ PyObject* pgm_read(PyObject*, PyObject* args) {
     while (c >= '0' && c <= '9') {
       v = v * 10 + (c - '0');
       any = true;
+      if (v > kMaxDim * 64) return false;  // way past any sane value
       c = fgetc(f);
     }
     *out = v;
@@ -72,7 +76,7 @@ PyObject* pgm_read(PyObject*, PyObject* args) {
   }
   long w = 0, h = 0, maxval = 0;
   if (!next_token(&w) || !next_token(&h) || !next_token(&maxval) || w <= 0 ||
-      h <= 0 || maxval <= 0 || maxval > 65535) {
+      h <= 0 || w > kMaxDim || h > kMaxDim || maxval <= 0 || maxval > 65535) {
     fclose(f);
     PyErr_Format(PyExc_ValueError, "%s: bad PGM header", path);
     return nullptr;
@@ -80,7 +84,15 @@ PyObject* pgm_read(PyObject*, PyObject* args) {
 
   const size_t npix = static_cast<size_t>(w) * static_cast<size_t>(h);
   const int bytes_per = maxval < 256 ? 1 : 2;
-  std::vector<uint8_t> raw(npix * bytes_per);
+  std::vector<uint8_t> raw;
+  try {
+    raw.resize(npix * bytes_per);
+  } catch (const std::bad_alloc&) {
+    fclose(f);
+    PyErr_Format(PyExc_MemoryError, "%s: image too large (%ldx%ld)", path, w,
+                 h);
+    return nullptr;
+  }
   if (fread(raw.data(), 1, raw.size(), f) != raw.size()) {
     fclose(f);
     PyErr_Format(PyExc_ValueError, "%s: truncated PGM payload", path);
@@ -106,9 +118,11 @@ PyObject* pgm_write(PyObject*, PyObject* args) {
   Py_buffer buf;
   long h = 0, w = 0;
   if (!PyArg_ParseTuple(args, "sy*ll", &path, &buf, &h, &w)) return nullptr;
-  if (buf.len < static_cast<Py_ssize_t>(sizeof(float)) * h * w) {
+  if (h <= 0 || w <= 0 || h > (1L << 20) || w > (1L << 20) ||
+      buf.len < static_cast<Py_ssize_t>(sizeof(float)) * h * w) {
     PyBuffer_Release(&buf);
-    PyErr_SetString(PyExc_ValueError, "buffer smaller than h*w floats");
+    PyErr_SetString(PyExc_ValueError,
+                    "bad dimensions or buffer smaller than h*w floats");
     return nullptr;
   }
   FILE* f = fopen(path, "wb");
@@ -141,7 +155,8 @@ PyObject* pack_siftpoints(PyObject*, PyObject* args) {
   Py_buffer hdr, desc;
   long n = 0;
   if (!PyArg_ParseTuple(args, "y*y*l", &hdr, &desc, &n)) return nullptr;
-  if (hdr.len < static_cast<Py_ssize_t>(13 * n * sizeof(float)) ||
+  if (n < 0 || n > (1L << 24) ||
+      hdr.len < static_cast<Py_ssize_t>(13 * n * sizeof(float)) ||
       desc.len < static_cast<Py_ssize_t>(kDescDim * n * sizeof(float))) {
     PyBuffer_Release(&hdr);
     PyBuffer_Release(&desc);
@@ -180,7 +195,8 @@ PyObject* unpack_siftpoints(PyObject*, PyObject* args) {
   Py_buffer buf;
   long n = 0;
   if (!PyArg_ParseTuple(args, "y*l", &buf, &n)) return nullptr;
-  if (buf.len < static_cast<Py_ssize_t>((size_t)n * kPointFloats * 4)) {
+  if (n < 0 || n > (1L << 24) ||
+      buf.len < static_cast<Py_ssize_t>((size_t)n * kPointFloats * 4)) {
     PyBuffer_Release(&buf);
     PyErr_SetString(PyExc_ValueError, "buffer smaller than n records");
     return nullptr;
