@@ -108,6 +108,10 @@ class SiftParams:
     # Use the Pallas TPU kernels for orientation/descriptors (ignored on CPU,
     # where the XLA twins run instead).
     use_pallas: bool = True
+    # Use the fused orient+descriptor kernel (OrientAndExtract analogue,
+    # cudaSiftD.cu:1060). Off by default: measured slower than the split
+    # kernels until its realignment/peak stages are restructured (ROADMAP).
+    use_fused: bool = False
 
     def octave_shapes(self, height: int, width: int) -> tuple[tuple[int, int], ...]:
         """Image shape per octave, index 0 = full working resolution.

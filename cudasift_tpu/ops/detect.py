@@ -41,13 +41,24 @@ class Candidates(NamedTuple):
     count: jnp.ndarray      # () int32, number of valid entries (pre-clamp)
 
 
-def extrema_mask(dog: jnp.ndarray, thresh: float) -> jnp.ndarray:
+def extrema_mask(
+    dog: jnp.ndarray, thresh: float, edge_limit: float | None = None
+) -> jnp.ndarray:
     """(5, H, W) bool mask of strict 3x3x3 extrema exceeding ``thresh``.
 
     Plane s of the result corresponds to DoG plane s+1 compared against
     planes s and s+2 (cudaSiftD.cu:1308,1328-1357). Implemented as static
     slices of a single zero-padded copy (border pixels are masked off anyway,
     so pad values are irrelevant) — one fused VPU stencil after XLA.
+
+    ``edge_limit``: when set, the reference's edge-response rejection
+    (tra^2 < edgeLimit*det, cudaSiftD.cu:1390) is applied HERE, densely, with
+    arithmetic identical to ``refine_candidates``. The reference runs the
+    test per candidate inside refinement; evaluating the same expression at
+    the same integer pixel densely keeps the surviving set identical while
+    halving the candidates that reach compaction and the per-keypoint
+    stages (roughly half of raw DoG extrema fail the edge test on real
+    images), and uses overflow capacity for real keypoints only.
     """
     _, h, w = dog.shape
     p = jnp.pad(dog, ((0, 0), (1, 1), (0, 0)))
@@ -76,6 +87,23 @@ def extrema_mask(dog: jnp.ndarray, thresh: float) -> jnp.ndarray:
     mask = (center > jnp.maximum(thresh, nbrmax)) | (
         center < jnp.minimum(-thresh, nbrmin)
     )
+    if edge_limit is not None:
+        # Same ops and order as refine_candidates so the filtered set is
+        # bit-identical to post-refinement edge rejection.
+        pc2 = jnp.pad(center, ((0, 0), (0, 0), (1, 1)), mode="edge")
+        pr2 = jnp.pad(center, ((0, 0), (1, 1), (0, 0)), mode="edge")
+        pd = jnp.pad(center, ((0, 0), (1, 1), (1, 1)), mode="edge")
+        dxx = 2.0 * center - pc2[:, :, 0:w] - pc2[:, :, 2 : 2 + w]
+        dyy = 2.0 * center - pr2[:, 0:h] - pr2[:, 2 : 2 + h]
+        dxy = 0.25 * (
+            pd[:, 2 : 2 + h, 2 : 2 + w]
+            + pd[:, 0:h, 0:w]
+            - pd[:, 0:h, 2 : 2 + w]
+            - pd[:, 2 : 2 + h, 0:w]
+        )
+        tra = dxx + dyy
+        det = dxx * dyy - dxy * dxy
+        mask = mask & (tra * tra < edge_limit * det)
     yy = jnp.arange(h)
     xx = jnp.arange(w)
     interior = ((yy > 0) & (yy < h - 1))[:, None] & ((xx > 0) & (xx < w - 1))[None, :]
@@ -90,45 +118,48 @@ def compact_mask(mask: jnp.ndarray, capacity: int):
     clamps into the last slot instead, cudaSiftD.cu:1421 — dropping is the
     cleaner fixed-capacity semantic and is reported via ``count``).
 
-    Implemented as a radix-128 hierarchical rank search: per-chunk popcounts
+    Implemented as a radix-512 hierarchical rank search: per-chunk popcounts
     build a small pyramid; each selected slot descends it with one row-gather
-    + 128-lane cumsum per level. Everything is dense VPU work plus two or
-    three small gathers — no flat scatter (serializes on TPU), no
-    full-length cumsum, no O(capacity * N) comparisons.
+    + 512-lane cumsum per level. Everything is dense VPU work plus two
+    small gathers per slot — no flat scatter (serializes on TPU), no
+    full-length cumsum, no O(capacity * N) comparisons. Level 0 stays int8
+    (the full-mask-sized pyramid level is bandwidth; 512^2 > any octave's
+    voxel count keeps the descent at two gathers).
     """
-    radix = 128
-    flat = mask.reshape(-1).astype(jnp.int32)
+    radix = 512
+    flat = mask.reshape(-1)
     n = flat.shape[0]
     pad = (-n) % radix
     if pad:
         flat = jnp.pad(flat, (0, pad))
 
-    # Pyramid: levels[0] = (n/128, 128) mask chunks; each higher level holds
-    # the previous level's chunk sums, re-chunked by 128.
+    # Pyramid: levels[0] = (n/512, 512) int8 mask chunks; higher levels hold
+    # the previous level's chunk sums, re-chunked by 512.
     levels = []
-    cur = flat.reshape(-1, radix)
+    cur = flat.reshape(-1, radix).astype(jnp.int8)
     levels.append(cur)
-    while cur.shape[0] > radix:
-        sums = cur.sum(axis=1)
+    sums = cur.sum(axis=1, dtype=jnp.int32)
+    while sums.shape[0] > radix:
         spad = (-sums.shape[0]) % radix
         if spad:
             sums = jnp.pad(sums, (0, spad))
         cur = sums.reshape(-1, radix)
         levels.append(cur)
-    top = cur.sum(axis=1)  # (<=128,)
+        sums = cur.sum(axis=1)
+    top = sums  # (<=512,)
     top_cum = jnp.cumsum(top)
     total = top_cum[-1]
     count = jnp.minimum(total, capacity).astype(jnp.int32)
 
     targets = jnp.arange(1, capacity + 1, dtype=jnp.int32)  # rank k, 1-based
     # Top level: index of first entry with cumsum >= k, and the prefix total.
-    below = top_cum[None, :] < targets[:, None]              # (cap, <=128)
+    below = top_cum[None, :] < targets[:, None]              # (cap, <=512)
     node = below.sum(axis=1).astype(jnp.int32)
     start = jnp.sum(jnp.where(below, top[None, :], 0), axis=1)
 
     # Descend: at each level gather the selected rows, rank within them.
     for lvl in reversed(levels):
-        rows = lvl[node]                                     # (cap, 128)
+        rows = lvl[node].astype(jnp.int32)                   # (cap, 512)
         cum = jnp.cumsum(rows, axis=1)
         rank = (targets - start)[:, None]                    # 1-based in-node
         below = cum < rank
@@ -167,16 +198,20 @@ def refine_candidates(
     y = jnp.clip(y, 1, h - 2)
     x = jnp.clip(x, 1, w - 2)
 
-    # Gather the 3x3x3 cube from a channels-last packing: 9 row-gathers of
-    # 8-channel (32 B contiguous) rows per candidate instead of 27 scalar
-    # gathers — TPU gathers are latency-bound per index, so fewer, fatter
-    # indices win. Scale selection then happens densely via channel masks.
+    # Gather the 3x3x3 cube from a channels-last packing where each pixel's
+    # row also carries its x-neighbors: 3 row-gathers of 96 B per candidate
+    # (one per y offset) instead of 9 — TPU gathers are latency-bound per
+    # index, so fewer, fatter indices win. The 3x widened dense pack is one
+    # fused pad+concat pass. Scale selection happens densely via channel
+    # masks.
     packed = jnp.pad(jnp.moveaxis(dog, 0, -1), ((0, 0), (0, 0), (0, 1)))
-    packed = packed.reshape(h * w, 8)
-    offs = jnp.asarray(
-        [dy * w + dx for dy in (-1, 0, 1) for dx in (-1, 0, 1)], jnp.int32
-    )
-    rows9 = packed[(y * w + x)[:, None] + offs[None, :]]     # (K, 9, 8)
+    pw_ = jnp.pad(packed, ((0, 0), (1, 1), (0, 0)))
+    trip = jnp.concatenate(
+        [pw_[:, 0:w], pw_[:, 1 : 1 + w], pw_[:, 2 : 2 + w]], axis=-1
+    ).reshape(h * w, 24)
+    offs = jnp.asarray([-w, 0, w], jnp.int32)
+    rows9 = trip[(y * w + x)[:, None] + offs[None, :]]       # (K, 3, 24)
+    rows9 = rows9.reshape(k, 9, 8)                           # (K, 9, 8)
     ch = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 8), 2)
     cube = [
         jnp.sum(
@@ -251,6 +286,6 @@ def detect_octave(
     capacity: int,
 ) -> Candidates:
     """Full detection for one octave: mask -> compact -> refine."""
-    mask = extrema_mask(dog, thresh)
+    mask = extrema_mask(dog, thresh, edge_limit)
     flat_idx, count = compact_mask(mask, capacity)
     return refine_candidates(dog, flat_idx, count, thresh, edge_limit, lowest_scale)

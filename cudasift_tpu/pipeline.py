@@ -83,8 +83,14 @@ def _extract_octave(
     """One octave: fused blur+DoG, detection, orientation, descriptors.
 
     Mirrors ExtractSiftOctave (cudaSiftH.cu:169-232). Returns a dict of
-    per-point fields (capacity slots) + validity, in image-global units
-    (positions scaled by ``subsampling``, cudaSiftD.cu:410-414).
+    per-point fields + validity, in image-global units (positions scaled by
+    ``subsampling``, cudaSiftD.cu:410-414).
+
+    On TPU the fused orient+descriptor kernel (the reference's
+    OrientAndExtract, cudaSiftD.cu:1060-1150) produces both descriptors per
+    candidate in one pass — no intermediate compaction, duplicates get full
+    capacity. The XLA path (CPU/golden) keeps the two-stage
+    orient -> compact -> describe structure.
     """
     blur = convolve.blur_multi(base, kernels)
     dog = blur[1:] - blur[:-1]
@@ -98,10 +104,6 @@ def _extract_octave(
     )
 
     scale_safe = jnp.where(cands.valid, cands.scale, 1.0)
-    primary, secondary, has_second = _orientations(
-        base, cands.xpos, cands.ypos, scale_safe, params.use_pallas,
-        count=cands.count,
-    )
 
     # Primary points first, then second-peak duplicates — matching the
     # reference's per-octave layout (detection range, then orientation
@@ -109,30 +111,55 @@ def _extract_octave(
     def dup(a, b=None):
         return jnp.concatenate([a, a if b is None else b])
 
-    fields = {
-        "xpos": dup(cands.xpos),
-        "ypos": dup(cands.ypos),
-        "scale": dup(cands.scale),
-        "sharpness": dup(cands.sharpness),
-        "edgeness": dup(cands.edgeness),
-        "orientation": dup(primary, secondary),
-    }
-    valid = jnp.concatenate([cands.valid, cands.valid & has_second])
+    if params.use_pallas and params.use_fused and _on_tpu():
+        from .ops.pallas.orient_desc import orient_and_describe_pallas
 
-    desc_cap = (capacity * 5 // 4 + 127) // 128 * 128
-    fields, count = _compact(fields, valid, desc_cap)
-    slot_valid = jnp.arange(desc_cap) < count
+        desc1, desc2, primary, secondary, has_second = (
+            orient_and_describe_pallas(
+                base, cands.xpos, cands.ypos, scale_safe, count=cands.count
+            )
+        )
+        fields = {
+            "xpos": dup(cands.xpos),
+            "ypos": dup(cands.ypos),
+            "scale": dup(cands.scale),
+            "sharpness": dup(cands.sharpness),
+            "edgeness": dup(cands.edgeness),
+            "orientation": dup(primary, secondary),
+            "data": jnp.concatenate([desc1, desc2]),
+        }
+        slot_valid = jnp.concatenate([cands.valid, cands.valid & has_second])
+        fields["data"] = jnp.where(slot_valid[:, None], fields["data"], 0.0)
+    else:
+        primary, secondary, has_second = _orientations(
+            base, cands.xpos, cands.ypos, scale_safe, params.use_pallas,
+            count=cands.count,
+        )
+        fields = {
+            "xpos": dup(cands.xpos),
+            "ypos": dup(cands.ypos),
+            "scale": dup(cands.scale),
+            "sharpness": dup(cands.sharpness),
+            "edgeness": dup(cands.edgeness),
+            "orientation": dup(primary, secondary),
+        }
+        valid = jnp.concatenate([cands.valid, cands.valid & has_second])
 
-    desc = _descriptors(
-        base,
-        fields["xpos"],
-        fields["ypos"],
-        jnp.where(slot_valid, fields["scale"], 1.0),
-        fields["orientation"],
-        params.use_pallas,
-        count=count,
-    )
-    fields["data"] = jnp.where(slot_valid[:, None], desc, 0.0)
+        desc_cap = (capacity * 5 // 4 + 127) // 128 * 128
+        fields, count = _compact(fields, valid, desc_cap)
+        slot_valid = jnp.arange(desc_cap) < count
+
+        desc = _descriptors(
+            base,
+            fields["xpos"],
+            fields["ypos"],
+            jnp.where(slot_valid, fields["scale"], 1.0),
+            fields["orientation"],
+            params.use_pallas,
+            count=count,
+        )
+        fields["data"] = jnp.where(slot_valid[:, None], desc, 0.0)
+
     fields["xpos"] = fields["xpos"] * subsampling
     fields["ypos"] = fields["ypos"] * subsampling
     fields["scale"] = fields["scale"] * subsampling

@@ -97,3 +97,58 @@ def test_match_kernel_matches_golden(rng):
     np.testing.assert_array_equal(np.asarray(idx)[:n1], gi)
     np.testing.assert_allclose(np.asarray(best)[:n1], gb, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(amb)[:n1], ga, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_orient_desc_matches_xla(rng):
+    from cudasift_tpu.ops.pallas.orient_desc import orient_and_describe_pallas
+    from cudasift_tpu.ops.orient import compute_orientations
+
+    img = make_image(rng)
+    n = 16
+    xp = jnp.asarray(rng.uniform(5, 150, n).astype(np.float32))
+    yp = jnp.asarray(rng.uniform(5, 90, n).astype(np.float32))
+    sc = jnp.asarray(rng.uniform(0.95, 1.87, n).astype(np.float32))
+    d1, d2, o1, o2, h2 = orient_and_describe_pallas(
+        jnp.asarray(img), xp, yp, sc, interpret=True
+    )
+    ro1, ro2, rh2 = compute_orientations(jnp.asarray(img), xp, yp, sc)
+    # Orientations: same envelope as the split orientation kernel (exact
+    # int-grid selection; atan2-poly boundary-bin flips move near-tie peaks).
+    d = np.abs(np.asarray(o1) - np.asarray(ro1))
+    d = np.minimum(d, 360.0 - d)
+    assert np.median(d) < 0.2 and (d < 2.0).mean() >= 0.9, d
+    assert (np.asarray(h2) == np.asarray(rh2)).mean() >= 0.9
+
+    # Descriptors at the kernel's own orientations vs the XLA descriptor at
+    # those same orientations: bf16-sampling envelope.
+    ref1 = np.asarray(extract_descriptors(jnp.asarray(img), xp, yp, sc, o1))
+    err = np.abs(np.asarray(d1) - ref1).max(axis=1)
+    assert np.median(err) < 4e-3, err
+    assert err.max() < 2e-2, err
+    ref2 = np.asarray(extract_descriptors(jnp.asarray(img), xp, yp, sc, o2))
+    both = np.asarray(h2) & np.asarray(rh2)
+    if both.any():
+        err2 = np.abs(np.asarray(d2) - ref2).max(axis=1)[both]
+        assert err2.max() < 2e-2, err2
+    # Norms: live descriptors are unit-length.
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(d1), axis=1), 1.0,
+                               atol=1e-4)
+
+
+def test_fused_orient_desc_count_gating(rng):
+    from cudasift_tpu.ops.pallas.orient_desc import orient_and_describe_pallas
+
+    img = make_image(rng)
+    n = 16
+    xp = jnp.asarray(rng.uniform(20, 140, n).astype(np.float32))
+    yp = jnp.asarray(rng.uniform(20, 70, n).astype(np.float32))
+    sc = jnp.asarray(np.full(n, 1.2, np.float32))
+    full = orient_and_describe_pallas(jnp.asarray(img), xp, yp, sc,
+                                      interpret=True)
+    gated = orient_and_describe_pallas(jnp.asarray(img), xp, yp, sc,
+                                       interpret=True, count=jnp.int32(8))
+    # First 8 slots agree with the ungated run; slots past count are zero.
+    np.testing.assert_allclose(np.asarray(gated[0])[:8],
+                               np.asarray(full[0])[:8], atol=1e-6)
+    assert np.abs(np.asarray(gated[0])[8:]).max() == 0.0
+    assert not np.asarray(gated[4])[8:].any()
