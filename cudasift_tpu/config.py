@@ -109,9 +109,11 @@ class SiftParams:
     # where the XLA twins run instead).
     use_pallas: bool = True
     # Use the fused orient+descriptor kernel (OrientAndExtract analogue,
-    # cudaSiftD.cu:1060). Off by default: measured slower than the split
-    # kernels until its realignment/peak stages are restructured (ROADMAP).
-    use_fused: bool = False
+    # cudaSiftD.cu:1060): batched v2 with a VMEM-resident octave image,
+    # 803 ns/keypoint vs 2142 for the split kernels. Octave bases too large
+    # for VMEM (see ops.pallas.orient_desc.fits_vmem) fall back to the
+    # split DMA kernels automatically.
+    use_fused: bool = True
 
     def octave_shapes(self, height: int, width: int) -> tuple[tuple[int, int], ...]:
         """Image shape per octave, index 0 = full working resolution.

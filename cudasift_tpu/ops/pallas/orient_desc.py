@@ -1,26 +1,42 @@
-"""Fused orientation + descriptor Pallas kernel.
+"""Fused orientation + descriptor Pallas kernel (batched, VMEM-resident).
 
 TPU-native equivalent of the reference's wired-but-disabled
 ``OrientAndExtractCONST`` (cudaSiftD.cu:1060-1150, launch cudaSiftH.cu:384-395):
 orientation assignment and descriptor extraction in ONE kernel, handling the
-second-peak duplicate inline. Compared to the separate kernels
-(``ops/pallas/orient.py`` + ``ops/pallas/descriptor.py``) this
+second-peak duplicate inline. This is the second-generation design; the
+first generation (one keypoint per step: DMA -> roll -> matmul -> serialized
+peak scan) measured 2.8 us/keypoint on TPU, dominated by per-keypoint HBM DMA
+latency (~0.7 us) and narrow serialized VPU ops — not by the MXU math.
+This version restructures around three measured facts (benchmarks/
+acquire_bench.py, benchmarks/mosaic_probe.py):
 
-- shares one patch DMA and one realignment per keypoint between both stages
-  (the orientation window is a sub-rectangle of the descriptor patch);
-- runs histogram smoothing + peak finding in-kernel (32-bin VPU work), so the
-  pipeline needs no intermediate XLA peak pass and **no per-octave
-  second-peak compaction** — the duplicate descriptor is produced in place,
-  gated by ``@pl.when`` so it costs nothing when there is no second peak;
-- shrinks the descriptor compute patch from (48, 128) to (48, 64): all
-  sample taps live within +-17.5 px of the keypoint (max octave scale < 2.0,
-  spacing 12/16*scale, cudaSiftD.cu:333-335), and the per-keypoint tent
-  matrices — the VPU-dominant cost — halve with the patch width.
+1. **VMEM-resident image, no per-keypoint DMA.** The whole (padded) octave
+   base is pinned in VMEM (~10 MB at 1080p vs ~16 MB VMEM); each keypoint's
+   (48, 64) patch is an unaligned-sublane dynamic slice plus one lane roll —
+   ~70 ns vs ~700 ns for the HBM DMA + realignment it replaces. Callers gate
+   on image size (`fits_vmem`) and fall back to the split DMA kernels.
 
-Arithmetic is identical to the two split kernels (which stay as the
-independently-tested building blocks): exact hi/lo-split one-hot selection
-for the orientation grid, octant-reduced atan2, bf16 mean-centered tent
-sampling for descriptors, trilinear binning as broadcast compares.
+2. **Two keypoints per MXU contraction.** A (48, 64) patch uses 18% of a
+   128x128 MXU tile. Patches of keypoint pairs are packed block-diagonally
+   (96, 128) against vertically stacked per-keypoint tent/one-hot matrices,
+   so one N-column stream serves two keypoints: descriptor sampling is one
+   (96, 128) @ (128, 1024) bf16 matmul per pair, orientation selection is
+   two (96, 128) @ (128, 256) matmuls per pair (exact hi/lo value split).
+
+3. **Everything per-keypoint-scalar is batched across the block.** Gradient
+   angles/weights, the 32-bin histograms' smoothing + peak finding + parabolic
+   interpolation run on (32, B) / (B, 256) arrays for all B=16 keypoints at
+   once (the v1 per-keypoint (32, 1) peak scan serialized ~20 narrow VPU ops
+   per keypoint). Trilinear descriptor binning becomes 8 small lane-contracted
+   matmuls against a shared spatial-weight matrix (exact bf16 hi/lo split),
+   with the final (descriptor-index permutation, L2 normalisation, count
+   masking) done in XLA where they fuse for free.
+
+Arithmetic matches the split kernels (`ops/pallas/orient.py`,
+`ops/pallas/descriptor.py`) which remain the independently-tested building
+blocks and the DMA fallback: exact one-hot hi/lo selection for the
+orientation grid, octant-reduced atan2, bf16 mean-centered tent sampling,
+trilinear binning weights per cudaSiftD.cu:347-386.
 """
 
 from __future__ import annotations
@@ -35,82 +51,176 @@ from jax.experimental.pallas import tpu as pltpu
 from .orient import _atan2_poly
 from .descriptor import _fast_atan2
 
-B = 8        # keypoints per program
-PR = 56      # DMA patch rows (48 needed + 8 for sublane-aligned origins)
-PWR = 256    # DMA patch cols (span + 128 for lane-aligned origins)
-P = 48       # compute patch rows (after realignment roll)
-PW = 64      # compute patch cols (samples span < +-18 px around col ~22)
+B = 16       # keypoints per program (8 block-diagonal pairs)
+NPAIR = B // 2
+P = 48       # patch rows
+PW = 64      # patch cols (sample span < +-18 px around col ~22)
 S = 1024     # descriptor samples: 256 grid points x 4 taps
 SO = 256     # orientation lanes: 13x13 = 169 grid values, padded
 MARGIN = 22  # patch origin offset; covers octave scales < 2.4
+NF = 8       # per-keypoint scalar fields in the prefetch table
+
+# Scalar-prefetch field indices (see `_keypoint_fields`).
+F_LX0, F_LY0, F_FX, F_FY, F_S12, F_CBASE, F_RBASE, F_I2S2 = range(NF)
+
+# Default VMEM budget for the resident image (bytes). ~16 MB physical per
+# core; leave headroom for patches, pair matmuls and output blocks.
+VMEM_IMAGE_LIMIT = 12 * 1024 * 1024
 
 
-def _sel32(onehot_src, idx, vals):
-    """vals[idx] for a (32, 1) column via compare+sum (no dynamic index)."""
-    return jnp.sum(jnp.where(onehot_src == idx, vals, 0.0))
+def fits_vmem(h: int, w: int) -> bool:
+    """Whether an (h, w) f32 image (after edge padding) fits the resident-
+    image budget. Callers should fall back to the split DMA kernels when
+    this is False (e.g. >1440p octave bases)."""
+    return (h + P + 8) * (w + 256) * 4 <= VMEM_IMAGE_LIMIT
 
 
-def _orient_one(a, kpf_ref, k):
-    """Histogram + smoothed peak finding for keypoint ``k``.
+def _spatial_weights():
+    """Shared (16, 256) trilinear spatial weights W[(4*row_cell+col_cell), s]
+    = wr*wc (cudaSiftD.cu:347-386), split into an exact bf16 hi+lo pair."""
+    rc = jax.lax.broadcasted_iota(jnp.int32, (16, 256), 0)
+    s = jax.lax.broadcasted_iota(jnp.int32, (16, 256), 1)
+    gxs = (s % 16).astype(jnp.float32) - 7.5
+    gys = (s // 16).astype(jnp.float32) - 7.5
+    cy = jnp.floor((gys + 7.5 + 2.0) / 4.0) - 1.0
+    fy = (gys + 7.5 - 1.5) / 4.0 - cy
+    cx = jnp.floor((gxs + 7.5 + 2.0) / 4.0) - 1.0
+    fx = (gxs + 7.5 - 1.5) / 4.0 - cx
+    r = (rc // 4).astype(jnp.float32)
+    c = (rc % 4).astype(jnp.float32)
+    wr = (cy == r) * (1.0 - fy) + (cy + 1.0 == r) * fy
+    wc = (cx == c) * (1.0 - fx) + (cx + 1.0 == c) * fx
+    w = wr * wc
+    hi = w.astype(jnp.bfloat16)
+    lo = (w - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
 
-    ``a``: realigned (P, PW) f32 patch. Returns (ori1_deg, ori2_deg, has2)
-    scalars. Matches ops.orient.orientation_histograms + histogram_peaks
-    (cudaSiftD.cu:972-1057) bin for bin.
-    """
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, SO), 1)
-    uy = lane // 13
-    ux = lane - uy * 13
-    psub = jax.lax.broadcasted_iota(jnp.int32, (P, SO), 0)
-    qsub = jax.lax.broadcasted_iota(jnp.int32, (PW, SO), 0)
-    csub = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0).astype(jnp.float32)
-    win_ok = ((ux <= 10) & (uy <= 10) & (lane < 169)).astype(jnp.float32)
 
-    cbase = kpf_ref[0, k, 8].astype(jnp.int32)   # floor(x) - o_x - 6
-    rbase = kpf_ref[0, k, 9].astype(jnp.int32)   # floor(y) - o_y - 6
-    fx = kpf_ref[0, k, 2]
-    fy = kpf_ref[0, k, 3]
-    i2sigma2 = kpf_ref[0, k, 4]
+def _fused_kernel(
+    oy_ref, ox_ref, ry_ref, rx_ref, cnt_ref, kpfs_ref,  # scalar prefetch
+    img_ref, kpc_ref,                                # array inputs
+    d1_ref, d2_ref, meta_ref,                        # outputs
+    patf, pcs, vori, vall, vall2, metas,             # scratch
+):
+    blk = pl.program_id(0)
+    total = cnt_ref[0]
 
-    # One f32 bilinear shift of the patch by (fy, fx): afterwards every
-    # orientation tap is an integer-grid read (exact tex2D semantics for
-    # interior keypoints; border taps clamp the integer index).
-    a_x = pltpu.roll(a, PW - 1, axis=1)
-    a_y = pltpu.roll(a, P - 1, axis=0)
-    a_xy = pltpu.roll(a_x, P - 1, axis=0)
-    pi = (1.0 - fy) * ((1.0 - fx) * a + fx * a_x) + fy * (
-        (1.0 - fx) * a_y + fx * a_xy
-    )
-    hi = pi.astype(jnp.bfloat16)
-    lo = (pi - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    @pl.when(blk * B >= total)
+    def _():
+        d1_ref[...] = jnp.zeros((1, 128, B), jnp.float32)
+        d2_ref[...] = jnp.zeros((1, 128, B), jnp.float32)
+        meta_ref[...] = jnp.zeros((1, 8, B), jnp.float32)
 
-    col = jnp.clip(cbase + ux, 0, PW - 1)
-    row = jnp.clip(rbase + uy, 0, P - 1)
-    onec = (qsub == col).astype(jnp.bfloat16)                 # (PW, SO)
-    oner = (psub == row).astype(jnp.float32)                  # (P, SO)
-    t = jax.lax.dot_general(
-        hi, onec, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) + jax.lax.dot_general(
-        lo, onec, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    v = jnp.sum(oner * t, axis=0, keepdims=True)              # (1, SO)
+    @pl.when(blk * B < total)
+    def _():
+        _block_body(
+            blk, oy_ref, ox_ref, ry_ref, rx_ref, kpfs_ref, img_ref, kpc_ref,
+            d1_ref, d2_ref, meta_ref, patf, pcs, vori, vall, vall2, metas,
+        )
 
-    # Gradients at window (xd, yd): lane rolls of the 13-wide grid.
+
+def _block_body(
+    blk, oy_ref, ox_ref, ry_ref, rx_ref, kpfs_ref, img_ref, kpc_ref,
+    d1_ref, d2_ref, meta_ref, patf, pcs, vori, vall, vall2, metas,
+):
+    def kf(k, f):
+        return kpfs_ref[(blk * B + k) * NF + f]
+
+    # ---- Phase 1: acquire patches (VMEM slice + two realignment rolls). ----
+    for k in range(B):
+        i = blk * B + k
+        oy = pl.multiple_of(oy_ref[i], 8)
+        ox = pl.multiple_of(ox_ref[i], 128)
+        ry = ry_ref[i]
+        rx = rx_ref[i]
+        raw = img_ref[pl.ds(oy, P + 8), pl.ds(ox, 256)]
+        a = pltpu.roll(raw, (P + 8 - ry) % (P + 8), axis=0)[:P]
+        a = pltpu.roll(a, (256 - rx) % 256, axis=1)[:, :PW]
+        patf[k] = a
+        pcs[k] = (a - jnp.mean(a)).astype(jnp.bfloat16)
+
+    # ---- Phase 2: orientation value grids, two keypoints per matmul. ----
+    lane_o = jax.lax.broadcasted_iota(jnp.int32, (1, SO), 1)
+    uy = lane_o // 13
+    ux = lane_o - uy * 13
+    win_ok = ((ux <= 10) & (uy <= 10) & (lane_o < 169)).astype(jnp.float32)
+    sub128 = jax.lax.broadcasted_iota(jnp.int32, (2 * PW, SO), 0)
+    qloc_o = sub128 - PW * (sub128 >= PW)
+    lo_half_o = sub128 < PW
+    sub96 = jax.lax.broadcasted_iota(jnp.int32, (2 * P, SO), 0)
+    ploc_o = sub96 - P * (sub96 >= P)
+    top_half_o = sub96 < P
+    zpat = jnp.zeros((P, PW), jnp.bfloat16)
+
+    for j in range(NPAIR):
+        k0, k1 = 2 * j, 2 * j + 1
+        his = []
+        los = []
+        for k in (k0, k1):
+            fx = kf(k, F_FX)
+            fy = kf(k, F_FY)
+            a = patf[k]
+            # One f32 bilinear shift by (fy, fx): afterwards every
+            # orientation tap is an integer-grid read (exact tex2D semantics
+            # for interior keypoints; border taps clamp the integer index).
+            a_x = pltpu.roll(a, PW - 1, axis=1)
+            a_y = pltpu.roll(a, P - 1, axis=0)
+            a_xy = pltpu.roll(a_x, P - 1, axis=0)
+            pi = (1.0 - fy) * ((1.0 - fx) * a + fx * a_x) + fy * (
+                (1.0 - fx) * a_y + fx * a_xy
+            )
+            hi = pi.astype(jnp.bfloat16)
+            his.append(hi)
+            los.append((pi - hi.astype(jnp.float32)).astype(jnp.bfloat16))
+
+        col0 = jnp.clip(kf(k0, F_CBASE).astype(jnp.int32) + ux, 0, PW - 1)
+        col1 = jnp.clip(kf(k1, F_CBASE).astype(jnp.int32) + ux, 0, PW - 1)
+        colsel = jnp.where(lo_half_o, col0, col1)
+        onec = (qloc_o == colsel).astype(jnp.bfloat16)           # (128, SO)
+        ahi = jnp.concatenate(
+            [jnp.concatenate([his[0], zpat], axis=1),
+             jnp.concatenate([zpat, his[1]], axis=1)], axis=0)   # (96, 128)
+        alo = jnp.concatenate(
+            [jnp.concatenate([los[0], zpat], axis=1),
+             jnp.concatenate([zpat, los[1]], axis=1)], axis=0)
+        t = jax.lax.dot_general(
+            ahi, onec, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            alo, onec, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                        # (96, SO)
+        row0 = jnp.clip(kf(k0, F_RBASE).astype(jnp.int32) + uy, 0, P - 1)
+        row1 = jnp.clip(kf(k1, F_RBASE).astype(jnp.int32) + uy, 0, P - 1)
+        rowsel = jnp.where(top_half_o, row0, row1)
+        oner = (ploc_o == rowsel).astype(jnp.float32)
+        m = oner * t
+        vori[k0 : k0 + 1] = jnp.sum(m[:P], axis=0, keepdims=True)
+        vori[k1 : k1 + 1] = jnp.sum(m[P:], axis=0, keepdims=True)
+
+    # ---- Phase 3: batched histograms + peak finding for the block. ----
+    v = vori[...]                                                # (B, SO)
     dx = pltpu.roll(v, SO - 15, axis=1) - pltpu.roll(v, SO - 13, axis=1)
     dy = pltpu.roll(v, SO - 27, axis=1) - pltpu.roll(v, SO - 1, axis=1)
     theta = _atan2_poly(dy, dx)
-    b = jnp.floor(16.0 * theta / 3.1416 + 16.5).astype(jnp.int32)
-    b = jnp.where(b > 31, 0, b)
-    g = jnp.exp(
-        i2sigma2
-        * ((ux.astype(jnp.float32) - 5.0) ** 2 + (uy.astype(jnp.float32) - 5.0) ** 2)
-    )
-    w = jnp.sqrt(dx * dx + dy * dy) * g * win_ok
+    bbin = jnp.floor(16.0 * theta / 3.1416 + 16.5).astype(jnp.int32)
+    bbin = jnp.where(bbin > 31, 0, bbin).astype(jnp.float32)
+    i2s2 = kpc_ref[0, :, F_I2S2 : F_I2S2 + 1]                    # (B, 1)
+    dist2 = ((ux.astype(jnp.float32) - 5.0) ** 2
+             + (uy.astype(jnp.float32) - 5.0) ** 2)
+    w = jnp.sqrt(dx * dx + dy * dy) * jnp.exp(i2s2 * dist2) * win_ok
 
-    onehot = (csub == b.astype(jnp.float32)).astype(jnp.float32)  # (32, SO)
-    hist = jnp.sum(w * onehot, axis=1, keepdims=True)             # (32, 1)
+    csub = jax.lax.broadcasted_iota(
+        jnp.int32, (32, 1), 0).astype(jnp.float32)
+    hist_cols = []
+    for k in range(B):
+        oh = (csub == bbin[k : k + 1]).astype(jnp.float32)       # (32, SO)
+        hist_cols.append(
+            jnp.sum(w[k : k + 1] * oh, axis=1, keepdims=True))
+    hist = jnp.concatenate(hist_cols, axis=1)                    # (32, B)
 
-    # Smooth [1,4,6,4,1] circular + peak finding (cudaSiftD.cu:1009-1037),
-    # replicating ops.orient.histogram_peaks on a (32, 1) column.
+    # Smooth [1,4,6,4,1] circular + peaks (cudaSiftD.cu:1009-1037), matching
+    # ops.orient.histogram_peaks bin for bin, for all B keypoints at once.
     sm = (
         6.0 * hist
         + 4.0 * (pltpu.roll(hist, 1, axis=0) + pltpu.roll(hist, 31, axis=0))
@@ -120,153 +230,131 @@ def _orient_one(a, kpf_ref, k):
     left = pltpu.roll(sm, 1, axis=0)
     right = pltpu.roll(sm, 31, axis=0)
     peaks = jnp.where((sm > left) & (sm >= right), sm, 0.0)
-    max1 = jnp.max(peaks)
-    i1 = jnp.min(jnp.where(peaks == max1, csub, 32.0))
+    max1 = jnp.max(peaks, axis=0, keepdims=True)                 # (1, B)
+    i1 = jnp.min(jnp.where(peaks == max1, csub, 32.0), axis=0, keepdims=True)
     masked = jnp.where(csub == i1, -jnp.inf, peaks)
-    max2 = jnp.max(masked)
-    i2 = jnp.min(jnp.where(masked == max2, csub, 32.0))
+    max2 = jnp.max(masked, axis=0, keepdims=True)
+    i2 = jnp.min(jnp.where(masked == max2, csub, 32.0), axis=0, keepdims=True)
 
     def interp(i, m):
         ip = jnp.where(i >= 31.0, i - 31.0, i + 1.0)
         im = jnp.where(i < 1.0, i + 31.0, i - 1.0)
-        v1 = _sel32(csub, ip, sm)
-        v2 = _sel32(csub, im, sm)
+        v1 = jnp.sum(jnp.where(csub == ip, sm, 0.0), axis=0, keepdims=True)
+        v2 = jnp.sum(jnp.where(csub == im, sm, 0.0), axis=0, keepdims=True)
         denom = 2.0 * m - v1 - v2
         peak = i + 0.5 * (v1 - v2) / jnp.where(denom == 0.0, 1e-30, denom)
         return 11.25 * jnp.where(peak < 0.0, peak + 32.0, peak)
 
-    return interp(i1, max1), interp(i2, max2), max2 > 0.8 * max1
+    ori1 = interp(i1, max1)                                      # (1, B)
+    ori2 = interp(i2, max2)
+    has2 = (max2 > 0.8 * max1).astype(jnp.float32)
+    metas[0:1, :] = ori1
+    metas[1:2, :] = ori2
+    metas[2:3, :] = has2
+    meta = jnp.concatenate(
+        [ori1, ori2, has2, jnp.zeros((5, B), jnp.float32)], axis=0)
+    meta_ref[0] = meta
 
-
-def _descriptor_one(a, kpf_ref, k, ori_deg, out_ref):
-    """Descriptor for keypoint ``k`` at orientation ``ori_deg`` (degrees),
-    written to ``out_ref[0, :, k]``. Matches ops.pallas.descriptor._desc_one
-    on the narrowed (P, PW) patch."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
-    tap = lane // 256
-    rem = lane - tap * 256
+    # ---- Phase 4: descriptor sampling, two keypoints per matmul. ----
+    lane_s = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    tap = lane_s // 256
+    rem = lane_s - tap * 256
     gy = (rem // 16).astype(jnp.float32) - 7.5
     gx = (rem - (rem // 16) * 16).astype(jnp.float32) - 7.5
-    psub = jax.lax.broadcasted_iota(jnp.int32, (P, S), 0).astype(jnp.float32)
-    qsub = jax.lax.broadcasted_iota(jnp.int32, (PW, S), 0).astype(jnp.float32)
+    # Rotated unit gradient taps (cudaSiftD.cu:340-343): tap 0..3 offsets are
+    # (+c,+s), (-c,-s), (-s,+c), (+s,-c); folded into two +-1/0 tap masks.
+    ta = jnp.where(tap == 0, 1.0, jnp.where(tap == 1, -1.0, 0.0))  # (1, S)
+    tc = jnp.where(tap == 2, 1.0, jnp.where(tap == 3, -1.0, 0.0))
+    sub128s = jax.lax.broadcasted_iota(jnp.int32, (2 * PW, S), 0)
+    qloc = (sub128s - PW * (sub128s >= PW)).astype(jnp.float32)
+    lo_half = sub128s < PW
+    sub96s = jax.lax.broadcasted_iota(jnp.int32, (2 * P, S), 0)
+    ploc = (sub96s - P * (sub96s >= P)).astype(jnp.float32)
+    top_half = sub96s < P
+
+    def sample_coords(k, ori_deg):
+        lx0 = kf(k, F_LX0)
+        ly0 = kf(k, F_LY0)
+        s12 = kf(k, F_S12)
+        th = jnp.float32(2.0 * 3.1415 / 360.0) * ori_deg
+        cosa = jnp.cos(th)
+        sina = jnp.sin(th)
+        xs = lx0 + gx * (s12 * cosa) - gy * (s12 * sina) + 0.5
+        ys = ly0 + gx * (s12 * sina) + gy * (s12 * cosa) + 0.5
+        tapx = cosa * ta - sina * tc
+        tapy = sina * ta + cosa * tc
+        sx = jnp.clip(xs + tapx - 0.5, 0.0, PW - 1.0)
+        sy = jnp.clip(ys + tapy - 0.5, 0.0, P - 1.0)
+        return sx, sy
+
+    def desc_pair(j, ori_row, dst):
+        k0, k1 = 2 * j, 2 * j + 1
+        sx0, sy0 = sample_coords(k0, metas[ori_row, k0])
+        sx1, sy1 = sample_coords(k1, metas[ori_row, k1])
+        sxx = jnp.where(lo_half, sx0, sx1)                       # (128, S)
+        cols = jnp.maximum(0.0, 1.0 - jnp.abs(qloc - sxx)).astype(jnp.bfloat16)
+        apc = jnp.concatenate(
+            [jnp.concatenate([pcs[k0], zpat], axis=1),
+             jnp.concatenate([zpat, pcs[k1]], axis=1)], axis=0)  # (96, 128)
+        t = jax.lax.dot_general(
+            apc, cols, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                        # (96, S)
+        syy = jnp.where(top_half, sy0, sy1)
+        rowt = jnp.maximum(0.0, 1.0 - jnp.abs(ploc - syy))
+        m = rowt * t
+        dst[k0 : k0 + 1] = jnp.sum(m[:P], axis=0, keepdims=True)
+        dst[k1 : k1 + 1] = jnp.sum(m[P:], axis=0, keepdims=True)
+
+    for j in range(NPAIR):
+        desc_pair(j, 0, vall)
+
+        pair_has2 = (metas[2, 2 * j] > 0.5) | (metas[2, 2 * j + 1] > 0.5)
+
+        @pl.when(pair_has2)
+        def _(j=j):
+            desc_pair(j, 1, vall2)
+
+        @pl.when(jnp.logical_not(pair_has2))
+        def _(j=j):
+            vall2[2 * j : 2 * j + 2] = jnp.zeros((2, S), jnp.float32)
+
+    # ---- Phase 5: batched binning via shared spatial-weight matmuls. ----
+    whi, wlo = _spatial_weights()
     lane256 = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
-    dsub = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
-
-    lx0 = kpf_ref[0, k, 0]
-    ly0 = kpf_ref[0, k, 1]
-    s12 = kpf_ref[0, k, 7]
-    theta = jnp.float32(2.0 * 3.1415 / 360.0) * ori_deg
-    cosa = jnp.cos(theta)
-    sina = jnp.sin(theta)
-    scosa = s12 * cosa
-    ssina = s12 * sina
-
-    xs = lx0 + gx * scosa - gy * ssina + 0.5
-    ys = ly0 + gx * ssina + gy * scosa + 0.5
-    tapx = jnp.where(
-        tap == 0, cosa, jnp.where(tap == 1, -cosa, jnp.where(tap == 2, -sina, sina))
-    )
-    tapy = jnp.where(
-        tap == 0, sina, jnp.where(tap == 1, -sina, jnp.where(tap == 2, cosa, -cosa))
-    )
-    sx = jnp.clip(xs + tapx - 0.5, 0.0, PW - 1.0)
-    sy = jnp.clip(ys + tapy - 0.5, 0.0, P - 1.0)
-
-    rows = jnp.maximum(0.0, 1.0 - jnp.abs(psub - sy))          # (P, S) f32
-    cols = jnp.maximum(0.0, 1.0 - jnp.abs(qsub - sx)).astype(jnp.bfloat16)
-
-    mean = jnp.mean(a)
-    pc = (a - mean).astype(jnp.bfloat16)                       # (P, PW)
-    t = jax.lax.dot_general(
-        pc, cols, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                           # (P, S)
-    vals = jnp.sum(rows * t, axis=0, keepdims=True)            # (1, S)
-
-    dx = vals[:, 0:256] - vals[:, 256:512]
-    dy = vals[:, 512:768] - vals[:, 768:1024]
-    grad = jnp.sqrt(dx * dx + dy * dy)
     gxs = (lane256 % 16).astype(jnp.float32) - 7.5
     gys = (lane256 // 16).astype(jnp.float32) - 7.5
-    grad = grad * jnp.exp(-(gxs * gxs + gys * gys) / 128.0)
-    angf = 4.0 / 3.1415 * _fast_atan2(dy, dx) + 4.0
-    angi_raw = jnp.floor(angf)
-    frac = angf - angi_raw
-    angi = (angi_raw.astype(jnp.int32) % 8).astype(jnp.float32)
-    angp = jnp.where(angi == 7.0, 0.0, angi + 1.0)
+    gweight = jnp.exp(-(gxs * gxs + gys * gys) / 128.0)
 
-    cy = jnp.floor((gys + 7.5 + 2.0) / 4.0) - 1.0              # (1, 256)
-    fy = (gys + 7.5 - 1.5) / 4.0 - cy
-    cx = jnp.floor((gxs + 7.5 + 2.0) / 4.0) - 1.0
-    fx = (gxs + 7.5 - 1.5) / 4.0 - cx
-    rbin = (dsub // 32).astype(jnp.float32)                    # (128, 1)
-    cbin = ((dsub // 8) % 4).astype(jnp.float32)
-    abin = (dsub % 8).astype(jnp.float32)
-    wr = (cy == rbin) * (1.0 - fy) + (cy + 1.0 == rbin) * fy   # (128, 256)
-    wc = (cx == cbin) * (1.0 - fx) + (cx + 1.0 == cbin) * fx
-    wa = (angi == abin) * (1.0 - frac) + (angp == abin) * frac
-    desc = jnp.sum(grad * wr * wc * wa, axis=1, keepdims=True)  # (128, 1)
-    n1 = jax.lax.rsqrt(jnp.maximum(jnp.sum(desc * desc), 1e-30))
-    t1n = jnp.minimum(desc * n1, 0.2)
-    n2 = jax.lax.rsqrt(jnp.maximum(jnp.sum(t1n * t1n), 1e-30))
-    out_ref[0, :, k] = (t1n * n2)[:, 0]
+    def finish(vals, dref):
+        dxv = vals[:, 0:256] - vals[:, 256:512]                  # (B, 256)
+        dyv = vals[:, 512:768] - vals[:, 768:1024]
+        grad = jnp.sqrt(dxv * dxv + dyv * dyv) * gweight
+        angf = 4.0 / 3.1415 * _fast_atan2(dyv, dxv) + 4.0
+        angi_raw = jnp.floor(angf)
+        frac = angf - angi_raw
+        angi = (angi_raw.astype(jnp.int32) % 8).astype(jnp.float32)
+        angp = jnp.where(angi == 7.0, 0.0, angi + 1.0)
+        g1 = grad * (1.0 - frac)
+        g2 = grad * frac
+        out = []
+        for a in range(8):
+            af = jnp.float32(a)
+            ga = ((angi == af) * g1 + (angp == af) * g2).astype(jnp.bfloat16)
+            da = jax.lax.dot_general(
+                whi, ga, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                wlo, ga, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                    # (16, B)
+            out.append(da)
+        # Row layout d' = 8*a + ... stacked as (128, B) with row a*16+rc;
+        # the XLA wrapper permutes to the reference order d = 8*rc + a.
+        dref[0] = jnp.concatenate(out, axis=0)
 
-
-def _fused_kernel(
-    oy_ref, ox_ref, cnt_ref, img_ref, kpf_ref,
-    desc1_ref, desc2_ref, meta_ref, patch, sems,
-):
-    blk = pl.program_id(0)
-    total = cnt_ref[0]
-
-    def copy(k):
-        i = blk * B + k
-        oy = pl.multiple_of(oy_ref[i], 8)
-        ox = pl.multiple_of(ox_ref[i], 128)
-        return pltpu.make_async_copy(
-            img_ref.at[pl.ds(oy, PR), pl.ds(ox, PWR)],
-            patch.at[k],
-            sems.at[k],
-        )
-
-    for k in range(B):
-        @pl.when(blk * B + k < total)
-        def _():
-            copy(k).start()
-
-    for k in range(B):
-        live = blk * B + k < total
-
-        @pl.when(jnp.logical_not(live))
-        def _():
-            zero = jnp.zeros((128,), jnp.float32)
-            desc1_ref[0, :, k] = zero
-            desc2_ref[0, :, k] = zero
-            meta_ref[0, :, k] = jnp.zeros((8,), jnp.float32)
-
-        @pl.when(live)
-        def _():
-            copy(k).wait()
-            ry = kpf_ref[0, k, 5].astype(jnp.int32)
-            rx = kpf_ref[0, k, 6].astype(jnp.int32)
-            a = pltpu.roll(patch[k], (PR - ry) % PR, axis=0)[:P, :]
-            a = pltpu.roll(a, (PWR - rx) % PWR, axis=1)[:, :PW]
-
-            ori1, ori2, has2 = _orient_one(a, kpf_ref, k)
-            meta_ref[0, :, k] = jnp.stack(
-                [ori1, ori2, has2.astype(jnp.float32),
-                 jnp.float32(0), jnp.float32(0), jnp.float32(0),
-                 jnp.float32(0), jnp.float32(0)]
-            )
-            _descriptor_one(a, kpf_ref, k, ori1, desc1_ref)
-
-            @pl.when(has2)
-            def _():
-                _descriptor_one(a, kpf_ref, k, ori2, desc2_ref)
-
-            @pl.when(jnp.logical_not(has2))
-            def _():
-                desc2_ref[0, :, k] = jnp.zeros((128,), jnp.float32)
+    finish(vall[...], d1_ref)
+    finish(vall2[...], d2_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -282,51 +370,51 @@ def orient_and_describe_pallas(
 
     Returns (desc1 (N, 128), desc2 (N, 128), ori1 (N,), ori2 (N,),
     has2 (N,) bool). ``desc2``/``ori2`` are the second-peak duplicates,
-    valid where ``has2``.
+    valid where ``has2``. The image (padded) must satisfy ``fits_vmem``.
     """
     n_in = xpos.shape[0]
     if count is None:
         count = jnp.int32(n_in)
+    count = jnp.asarray(count, jnp.int32)
     pad = (-n_in) % B
     if pad:
         xpos, ypos, scale = (jnp.pad(a, (0, pad)) for a in (xpos, ypos, scale))
         scale = scale.at[n_in:].set(1.0)
     n = xpos.shape[0]
-    img = jnp.pad(img, ((0, PR), (0, PWR)), mode="edge")
+    img = jnp.pad(img, ((0, P + 8), (0, 256)), mode="edge")
 
     fl_x = jnp.floor(xpos)
     fl_y = jnp.floor(ypos)
     o_y = jnp.maximum(fl_y.astype(jnp.int32) - MARGIN, 0)
     o_x = jnp.maximum(fl_x.astype(jnp.int32) - MARGIN, 0)
     oy = o_y // 8 * 8
+    ry = o_y - oy
     ox = o_x // 128 * 128
+    rx = o_x - ox
     i2sigma2 = -1.0 / (2.0 * 1.5 * 1.5 * scale * scale)
-    kpf = jnp.stack(
+    fields = jnp.stack(
         [
-            xpos - o_x.astype(jnp.float32),            # 0: lx0
-            ypos - o_y.astype(jnp.float32),            # 1: ly0
-            xpos - fl_x,                               # 2: fx
-            ypos - fl_y,                               # 3: fy
-            i2sigma2,                                  # 4
-            (o_y - oy).astype(jnp.float32),            # 5: ry residual
-            (o_x - ox).astype(jnp.float32),            # 6: rx residual
-            (12.0 / 16.0) * scale,                     # 7: s12
-            fl_x - o_x.astype(jnp.float32) - 6.0,      # 8: cbase
-            fl_y - o_y.astype(jnp.float32) - 6.0,      # 9: rbase
-            jnp.zeros_like(xpos), jnp.zeros_like(xpos),
-            jnp.zeros_like(xpos), jnp.zeros_like(xpos),
-            jnp.zeros_like(xpos), jnp.zeros_like(xpos),
+            xpos - o_x.astype(jnp.float32),            # F_LX0
+            ypos - o_y.astype(jnp.float32),            # F_LY0
+            xpos - fl_x,                               # F_FX
+            ypos - fl_y,                               # F_FY
+            (12.0 / 16.0) * scale,                     # F_S12
+            fl_x - o_x.astype(jnp.float32) - 6.0,      # F_CBASE
+            fl_y - o_y.astype(jnp.float32) - 6.0,      # F_RBASE
+            i2sigma2,                                  # F_I2S2
         ],
         axis=-1,
-    ).reshape(n // B, B, 16)
+    )                                                  # (n, NF)
+    kpfs = fields.reshape(-1)
+    kpc = fields.reshape(n // B, B, NF)
 
     nb = n // B
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=6,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, B, 16), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, NF), lambda i, *_: (i, 0, 0)),
         ],
         out_specs=(
             pl.BlockSpec((1, 128, B), lambda i, *_: (i, 0, 0)),
@@ -334,11 +422,16 @@ def orient_and_describe_pallas(
             pl.BlockSpec((1, 8, B), lambda i, *_: (i, 0, 0)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((B, PR, PWR), jnp.float32),
-            pltpu.SemaphoreType.DMA((B,)),
+            pltpu.VMEM((B, P, PW), jnp.float32),       # patf
+            pltpu.VMEM((B, P, PW), jnp.bfloat16),      # pcs
+            pltpu.VMEM((B, SO), jnp.float32),          # vori
+            pltpu.VMEM((B, S), jnp.float32),           # vall
+            pltpu.VMEM((B, S), jnp.float32),           # vall2
+            pltpu.VMEM((8, B), jnp.float32),           # metas
         ],
     )
-    desc1, desc2, meta = pl.pallas_call(
+    vmem_limit = img.shape[0] * img.shape[1] * 4 + 3 * 1024 * 1024
+    d1, d2, meta = pl.pallas_call(
         _fused_kernel,
         out_shape=(
             jax.ShapeDtypeStruct((nb, 128, B), jnp.float32),
@@ -347,8 +440,38 @@ def orient_and_describe_pallas(
         ),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(oy, ox, jnp.atleast_1d(jnp.asarray(count, jnp.int32)), img, kpf)
-    desc1 = desc1.transpose(0, 2, 1).reshape(n, 128)[:n_in]
-    desc2 = desc2.transpose(0, 2, 1).reshape(n, 128)[:n_in]
-    meta = meta.transpose(0, 2, 1).reshape(n, 8)[:n_in]
-    return desc1, desc2, meta[:, 0], meta[:, 1], meta[:, 2] > 0.5
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit),
+        ),
+    )(
+        oy, ox, ry, rx, jnp.atleast_1d(count), kpfs,
+        img, kpc,
+    )
+
+    # Kernel rows are a*16 + rc; the reference descriptor index is
+    # d = 8*rc + a (cudaSiftD.cu:347-386 bin layout).
+    d = jnp.arange(128)
+    perm = (d % 8) * 16 + d // 8
+    valid = (jnp.arange(n) < count)[:, None]
+
+    def unpack(raw):
+        x = raw[:, perm, :].transpose(0, 2, 1).reshape(n, 128)
+        # L2 -> clamp 0.2 -> L2 (cudaSiftD.cu:390-409).
+        n1 = jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(x * x, axis=1, keepdims=True), 1e-30))
+        t1 = jnp.minimum(x * n1, 0.2)
+        n2 = jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(t1 * t1, axis=1, keepdims=True), 1e-30))
+        return jnp.where(valid, t1 * n2, 0.0)
+
+    desc1 = unpack(d1)[:n_in]
+    meta = meta.transpose(0, 2, 1).reshape(n, 8)
+    vmask = valid[:, 0]
+    ori1 = jnp.where(vmask, meta[:, 0], 0.0)[:n_in]
+    ori2 = jnp.where(vmask, meta[:, 1], 0.0)[:n_in]
+    has2 = (vmask & (meta[:, 2] > 0.5))[:n_in]
+    # A pair where only one keypoint has a second peak computes both second
+    # descriptors; mask the invalid sibling.
+    desc2 = jnp.where((vmask & (meta[:, 2] > 0.5))[:, None], unpack(d2), 0.0)
+    desc2 = desc2[:n_in]
+    return desc1, desc2, ori1, ori2, has2

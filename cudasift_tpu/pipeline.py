@@ -111,7 +111,14 @@ def _extract_octave(
     def dup(a, b=None):
         return jnp.concatenate([a, a if b is None else b])
 
-    if params.use_pallas and params.use_fused and _on_tpu():
+    from .ops.pallas.orient_desc import fits_vmem
+
+    if (
+        params.use_pallas
+        and params.use_fused
+        and _on_tpu()
+        and fits_vmem(*base.shape)
+    ):
         from .ops.pallas.orient_desc import orient_and_describe_pallas
 
         desc1, desc2, primary, secondary, has_second = (
