@@ -43,8 +43,11 @@ def device_time(traced_fn, chain=8, reps=7):
             acc = jnp.float32(0)
             for _ in range(n):
                 out = traced_fn(acc * jnp.float32(1e-30))
-                leaf = jax.tree.leaves(out)[0]
-                acc = acc + leaf.reshape(-1)[0].astype(jnp.float32)
+                # Fold EVERY output leaf into the chain: anything not in the
+                # dependency chain gets dead-code-eliminated per iteration
+                # and silently drops out of the measurement.
+                for leaf in jax.tree.leaves(out):
+                    acc = acc + leaf.reshape(-1)[0].astype(jnp.float32)
             return acc
 
         return jax.jit(g)

@@ -36,6 +36,7 @@ def _dog_kernel(k_ref, a_ref, b_ref, c_ref, thr_ref, dims_ref,
     wp = rows.shape[1]
     w_out = dog_ref.shape[2]
     thresh = thr_ref[0]
+    edge_limit = thr_ref[1]
     height = dims_ref[0]
     width = dims_ref[1]
 
@@ -86,6 +87,25 @@ def _dog_kernel(k_ref, a_ref, b_ref, c_ref, thr_ref, dims_ref,
         is_ext = (c > jnp.maximum(thresh, nmax)) | (
             c < jnp.minimum(-thresh, nmin)
         )
+        # Dense edge-response prefilter (tra^2 < edgeLimit*det,
+        # cudaSiftD.cu:1390) with arithmetic identical to
+        # ops.detect.refine_candidates, so the surviving set matches
+        # post-refinement edge rejection exactly (see
+        # ops.detect.extrema_mask). Halo slices of the center plane give
+        # the same neighbor values XLA's edge-padded slices produce on
+        # interior pixels; borders are masked off anyway.
+        mid = dogs[s + 1]
+        dxx = 2.0 * c - mid[1:17, 0:w_out] - mid[1:17, 2 : w_out + 2]
+        dyy = 2.0 * c - mid[0:16, 1 : w_out + 1] - mid[2:18, 1 : w_out + 1]
+        dxy = 0.25 * (
+            mid[2:18, 2 : w_out + 2]
+            + mid[0:16, 0:w_out]
+            - mid[0:16, 2 : w_out + 2]
+            - mid[2:18, 0:w_out]
+        )
+        tra = dxx + dyy
+        det = dxx * dyy - dxy * dxy
+        is_ext = is_ext & (tra * tra < edge_limit * det)
         mask_ref[s, :, :] = (is_ext & interior).astype(jnp.float32)
 
 
@@ -94,12 +114,14 @@ def dog_and_mask_pallas(
     img: jnp.ndarray,
     kernels: jnp.ndarray,
     thresh: float,
+    edge_limit: float = 10.0,
     interpret: bool = False,
 ):
-    """(dog (7, H, W) f32, mask (5, H, W) f32) for one octave.
+    """(dog (7, H, W) f32, mask (5, H, W) bool) for one octave.
 
     ``kernels``: (8, 9) Gaussian taps for this octave (PrepareLaplaceKernels,
-    cudaSiftH.cu:439-458).
+    cudaSiftH.cu:439-458). The mask includes the dense edge-response
+    prefilter (same semantics as ops.detect.extrema_mask with edge_limit).
     """
     h, w = img.shape
     nstrips = -(-h // TH)
@@ -111,7 +133,7 @@ def dog_and_mask_pallas(
         mode="edge",
     )
     ktab = jnp.zeros((8, 16), jnp.float32).at[:, :9].set(jnp.asarray(kernels))
-    thr = jnp.asarray([jnp.float32(thresh)])
+    thr = jnp.asarray([thresh, edge_limit], jnp.float32)
     dims = jnp.asarray([h, w], jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -92,16 +92,38 @@ def _extract_octave(
     capacity. The XLA path (CPU/golden) keeps the two-stage
     orient -> compact -> describe structure.
     """
-    blur = convolve.blur_multi(base, kernels)
-    dog = blur[1:] - blur[:-1]
+    use_pallas = params.use_pallas and _on_tpu()
+    if use_pallas:
+        # Fused blur+DoG+extrema stencil (LaplaceMultiMem + the scan half of
+        # FindPointsMultiNew in one pass): one image read per strip, mask and
+        # edge prefilter computed in-register. Honest XLA cost of the same
+        # ensemble is ~2.4 ms at 1080p vs ~1.4 ms for the stencil.
+        from .ops.pallas.dog import dog_and_mask_pallas
+        from .ops.detect import compact_mask, Candidates
+        from .ops.pallas.refine import refine_candidates_pallas
 
-    cands = detect_octave(
-        dog,
-        params.thresh,
-        params.edge_limit,
-        params.lowest_scale_effective / subsampling,
-        capacity,
-    )
+        dog, mask = dog_and_mask_pallas(
+            base, kernels, params.thresh, params.edge_limit
+        )
+        flat_idx, count = compact_mask(mask, capacity)
+        xp, yp, sc, sh, ed, valid = refine_candidates_pallas(
+            dog, flat_idx, count, params.edge_limit,
+            params.lowest_scale_effective / subsampling,
+        )
+        cands = Candidates(
+            xpos=xp, ypos=yp, scale=sc, sharpness=sh, edgeness=ed,
+            valid=valid, count=count,
+        )
+    else:
+        blur = convolve.blur_multi(base, kernels)
+        dog = blur[1:] - blur[:-1]
+        cands = detect_octave(
+            dog,
+            params.thresh,
+            params.edge_limit,
+            params.lowest_scale_effective / subsampling,
+            capacity,
+        )
 
     scale_safe = jnp.where(cands.valid, cands.scale, 1.0)
 

@@ -152,3 +152,28 @@ def test_fused_orient_desc_count_gating(rng):
                                np.asarray(full[0])[:8], atol=1e-6)
     assert np.abs(np.asarray(gated[0])[8:]).max() == 0.0
     assert not np.asarray(gated[4])[8:].any()
+
+
+def test_refine_kernel_matches_xla(rng):
+    from cudasift_tpu.ops.detect import (
+        extrema_mask, compact_mask, refine_candidates)
+    from cudasift_tpu.ops.pallas.refine import refine_candidates_pallas
+    from cudasift_tpu.ops import convolve
+    from cudasift_tpu.config import laplace_kernels
+
+    img = make_image(rng, h=80, w=144)
+    blur = convolve.blur_multi(jnp.asarray(img), laplace_kernels(1)[0])
+    dog = blur[1:] - blur[:-1]
+    mask = extrema_mask(dog, 2.0, 10.0)
+    idx, cnt = compact_mask(mask, 256)
+    ref = refine_candidates(dog, idx, cnt, 2.0, 10.0, 0.0)
+    xp, yp, sc, sh, ed, valid = refine_candidates_pallas(
+        dog, idx, cnt, 10.0, 0.0, interpret=True)
+    assert int(cnt) > 4
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(ref.valid))
+    # exp2 differs by 1 ulp between the Mosaic/interpret and XLA lowerings;
+    # everything else is the same f32 arithmetic.
+    for ours, theirs in ((xp, ref.xpos), (yp, ref.ypos), (sc, ref.scale),
+                         (sh, ref.sharpness), (ed, ref.edgeness)):
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(theirs), rtol=3e-7, atol=0)

@@ -16,11 +16,11 @@ def test_dog_and_mask_matches_xla(rng):
     )
     ktab = laplace_kernels(2)[0]
     dog, mask = dog_and_mask_pallas(
-        jnp.asarray(img), jnp.asarray(ktab), 0.8, interpret=True
+        jnp.asarray(img), jnp.asarray(ktab), 0.8, 10.0, interpret=True
     )
     blur = convolve.blur_multi(jnp.asarray(img), ktab)
     dog_ref = blur[1:] - blur[:-1]
-    mask_ref = detect.extrema_mask(dog_ref, 0.8)
+    mask_ref = detect.extrema_mask(dog_ref, 0.8, 10.0)
     assert dog.shape == (7, 70, 150)
     np.testing.assert_allclose(
         np.asarray(dog), np.asarray(dog_ref), atol=2e-3, rtol=1e-4
