@@ -139,24 +139,26 @@ def _block_body(
         patf[k] = a
         pcs[k] = (a - jnp.mean(a)).astype(jnp.bfloat16)
 
-    # ---- Phase 2: orientation value grids, two keypoints per matmul. ----
+    # ---- Phase 2: orientation value grids, FOUR keypoints per matmul. ----
+    # The 13x13 window (+1 gradient halo) lives in rows/cols <= 29 of the
+    # patch (cbase, rbase <= 16), so the shifted patch can be narrowed to
+    # (32, 32) and four keypoints packed block-diagonally into one full
+    # (128, 128) MXU tile: one hi + one lo matmul per quad.
+    OW = 32
     lane_o = jax.lax.broadcasted_iota(jnp.int32, (1, SO), 1)
     uy = lane_o // 13
     ux = lane_o - uy * 13
     win_ok = ((ux <= 10) & (uy <= 10) & (lane_o < 169)).astype(jnp.float32)
-    sub128 = jax.lax.broadcasted_iota(jnp.int32, (2 * PW, SO), 0)
-    qloc_o = sub128 - PW * (sub128 >= PW)
-    lo_half_o = sub128 < PW
-    sub96 = jax.lax.broadcasted_iota(jnp.int32, (2 * P, SO), 0)
-    ploc_o = sub96 - P * (sub96 >= P)
-    top_half_o = sub96 < P
-    zpat = jnp.zeros((P, PW), jnp.bfloat16)
+    sub128 = jax.lax.broadcasted_iota(jnp.int32, (4 * OW, SO), 0)
+    qloc_o = sub128 % OW
+    qblk_o = sub128 // OW
+    zq = jnp.zeros((OW, OW), jnp.bfloat16)
 
-    for j in range(NPAIR):
-        k0, k1 = 2 * j, 2 * j + 1
+    for j in range(B // 4):
+        ks = [4 * j + t for t in range(4)]
         his = []
         los = []
-        for k in (k0, k1):
+        for k in ks:
             fx = kf(k, F_FX)
             fy = kf(k, F_FY)
             a = patf[k]
@@ -169,34 +171,49 @@ def _block_body(
             pi = (1.0 - fy) * ((1.0 - fx) * a + fx * a_x) + fy * (
                 (1.0 - fx) * a_y + fx * a_xy
             )
-            hi = pi.astype(jnp.bfloat16)
+            pw = pi[:OW, :OW]
+            hi = pw.astype(jnp.bfloat16)
             his.append(hi)
-            los.append((pi - hi.astype(jnp.float32)).astype(jnp.bfloat16))
+            los.append((pw - hi.astype(jnp.float32)).astype(jnp.bfloat16))
 
-        col0 = jnp.clip(kf(k0, F_CBASE).astype(jnp.int32) + ux, 0, PW - 1)
-        col1 = jnp.clip(kf(k1, F_CBASE).astype(jnp.int32) + ux, 0, PW - 1)
-        colsel = jnp.where(lo_half_o, col0, col1)
+        cols = [
+            jnp.clip(kf(k, F_CBASE).astype(jnp.int32) + ux, 0, OW - 1)
+            for k in ks
+        ]
+        colsel = jnp.where(
+            qblk_o == 0, cols[0],
+            jnp.where(qblk_o == 1, cols[1],
+                      jnp.where(qblk_o == 2, cols[2], cols[3])))
         onec = (qloc_o == colsel).astype(jnp.bfloat16)           # (128, SO)
-        ahi = jnp.concatenate(
-            [jnp.concatenate([his[0], zpat], axis=1),
-             jnp.concatenate([zpat, his[1]], axis=1)], axis=0)   # (96, 128)
-        alo = jnp.concatenate(
-            [jnp.concatenate([los[0], zpat], axis=1),
-             jnp.concatenate([zpat, los[1]], axis=1)], axis=0)
-        t = jax.lax.dot_general(
-            ahi, onec, (((1,), (0,)), ((), ())),
+
+        def bd4(blocks):
+            rows_ = []
+            for t in range(4):
+                pre = [zq] * t
+                post = [zq] * (3 - t)
+                rows_.append(jnp.concatenate(pre + [blocks[t]] + post, axis=1))
+            return jnp.concatenate(rows_, axis=0)                # (128, 128)
+
+        t4 = jax.lax.dot_general(
+            bd4(his), onec, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + jax.lax.dot_general(
-            alo, onec, (((1,), (0,)), ((), ())),
+            bd4(los), onec, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                        # (96, SO)
-        row0 = jnp.clip(kf(k0, F_RBASE).astype(jnp.int32) + uy, 0, P - 1)
-        row1 = jnp.clip(kf(k1, F_RBASE).astype(jnp.int32) + uy, 0, P - 1)
-        rowsel = jnp.where(top_half_o, row0, row1)
-        oner = (ploc_o == rowsel).astype(jnp.float32)
-        m = oner * t
-        vori[k0 : k0 + 1] = jnp.sum(m[:P], axis=0, keepdims=True)
-        vori[k1 : k1 + 1] = jnp.sum(m[P:], axis=0, keepdims=True)
+        )                                                        # (128, SO)
+        rows = [
+            jnp.clip(kf(k, F_RBASE).astype(jnp.int32) + uy, 0, OW - 1)
+            for k in ks
+        ]
+        rowsel = jnp.where(
+            qblk_o == 0, rows[0],
+            jnp.where(qblk_o == 1, rows[1],
+                      jnp.where(qblk_o == 2, rows[2], rows[3])))
+        oner = (qloc_o == rowsel).astype(jnp.float32)
+        m = oner * t4
+        for t, k in enumerate(ks):
+            vori[k : k + 1] = jnp.sum(
+                m[t * OW : (t + 1) * OW], axis=0, keepdims=True)
 
     # ---- Phase 3: batched histograms + peak finding for the block. ----
     v = vori[...]                                                # (B, SO)
@@ -271,6 +288,7 @@ def _block_body(
     sub96s = jax.lax.broadcasted_iota(jnp.int32, (2 * P, S), 0)
     ploc = (sub96s - P * (sub96s >= P)).astype(jnp.float32)
     top_half = sub96s < P
+    zpat = jnp.zeros((P, PW), jnp.bfloat16)
 
     def sample_coords(k, ori_deg):
         lx0 = kf(k, F_LX0)

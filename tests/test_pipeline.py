@@ -105,3 +105,42 @@ def test_scale_up_path(left_image):
     # subsampling reflects the doubled grid then the 0.5 rescale keeps scale
     # comparable: smallest scales should be ~half of the non-upscaled ones.
     assert np.asarray(d_up.scale)[v].min() < np.asarray(d_no.scale)[np.asarray(d_no.valid_mask())].min()
+
+
+@pytest.mark.slow
+def test_keypoint_parity_scale_up(left_image):
+    """Golden parity for the upscale path (ScaleUp -> LowPass -> extract at
+    2x -> RescalePositions 0.5, cudaSiftH.cu:118-131), same statement as
+    test_keypoint_parity_on_real_image for scale_up=True."""
+    img = left_image[400:496, 500:628]
+    params = SiftParams(num_octaves=2, thresh=4.0, max_pts=4096,
+                        scale_up=True, lowest_scale=0.5)
+    data = extract_sift(img, params)
+    up = golden.scale_up(img.astype(np.float64))
+    ref = [p for p in golden_extract(up, 2, 4.0)
+           if p["scale"] >= 1.0]  # lowestScale doubled (cudaSiftH.cu:127)
+    for p in ref:  # RescalePositions(0.5)
+        p["xpos"] *= 0.5
+        p["ypos"] *= 0.5
+        p["scale"] *= 0.5
+    n = int(data.num_pts)
+    assert n == len(ref), (n, len(ref))
+    gx = np.asarray(data.xpos)[:n]
+    gy = np.asarray(data.ypos)[:n]
+    gs = np.asarray(data.scale)[:n]
+    go = np.asarray(data.orientation)[:n]
+    gd = np.asarray(data.data)[:n]
+    matched = 0
+    desc_err = []
+    for p in ref:
+        dist = (np.abs(gx - p["xpos"]) + np.abs(gy - p["ypos"])
+                + np.abs(gs - p["scale"]))
+        dori = np.abs(go - p["orientation"])
+        dori = np.minimum(dori, 360.0 - dori)
+        cand = (dist < 0.25) & (dori < 2.0)
+        if cand.any():
+            i = np.argmin(np.where(cand, dist, np.inf))
+            matched += 1
+            desc_err.append(np.abs(gd[i] - p["desc"]).max())
+    assert matched / len(ref) >= 0.99, f"parity {matched}/{len(ref)}"
+    assert np.median(desc_err) < 5e-3
