@@ -37,7 +37,7 @@ def device_info(dev_num: int = 0) -> None:
 
 from .config import SiftParams, MatchParams, HomographyParams
 from .sift_data import SiftData, init_sift_data, print_sift_data
-from .pipeline import extract_sift
+from .pipeline import extract_sift, extract_sift_throughput
 from .ops.match import match_sift_data, match_descriptors
 from .ops.homography import find_homography, improve_homography
 
@@ -50,6 +50,7 @@ __all__ = [
     "init_sift_data",
     "print_sift_data",
     "extract_sift",
+    "extract_sift_throughput",
     "match_sift_data",
     "match_descriptors",
     "find_homography",

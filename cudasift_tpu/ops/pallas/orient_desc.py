@@ -3,40 +3,51 @@
 TPU-native equivalent of the reference's wired-but-disabled
 ``OrientAndExtractCONST`` (cudaSiftD.cu:1060-1150, launch cudaSiftH.cu:384-395):
 orientation assignment and descriptor extraction in ONE kernel, handling the
-second-peak duplicate inline. This is the second-generation design; the
-first generation (one keypoint per step: DMA -> roll -> matmul -> serialized
-peak scan) measured 2.8 us/keypoint on TPU, dominated by per-keypoint HBM DMA
-latency (~0.7 us) and narrow serialized VPU ops — not by the MXU math.
-This version restructures around three measured facts (benchmarks/
-acquire_bench.py, benchmarks/mosaic_probe.py):
+second-peak duplicate inline. This is the third-generation design; v1 (one
+keypoint per step: DMA -> roll -> matmul -> serialized peak scan) measured
+2.8 us/keypoint on TPU, v2 (VMEM-resident image, pairs per matmul, batched
+histograms) 709 ns/keypoint. v3 restructures around measured facts
+(benchmarks/{acquire_bench,mosaic_probe,fused_phase_ablation}.py):
 
 1. **VMEM-resident image, no per-keypoint DMA.** The whole (padded) octave
    base is pinned in VMEM (~10 MB at 1080p vs ~16 MB VMEM); each keypoint's
-   (48, 64) patch is an unaligned-sublane dynamic slice plus one lane roll —
-   ~70 ns vs ~700 ns for the HBM DMA + realignment it replaces. Callers gate
-   on image size (`fits_vmem`) and fall back to the split DMA kernels.
+   patch is an unaligned-sublane dynamic slice plus one lane roll — ~70 ns
+   vs ~700 ns for the HBM DMA + realignment it replaces. Callers gate on
+   image size (`fits_vmem`) and fall back to the split DMA kernels.
 
-2. **Two keypoints per MXU contraction.** A (48, 64) patch uses 18% of a
-   128x128 MXU tile. Patches of keypoint pairs are packed block-diagonally
-   (96, 128) against vertically stacked per-keypoint tent/one-hot matrices,
-   so one N-column stream serves two keypoints: descriptor sampling is one
-   (96, 128) @ (128, 1024) bf16 matmul per pair, orientation selection is
-   two (96, 128) @ (128, 256) matmuls per pair (exact hi/lo value split).
+2. **Scale-bucketed patch geometry, up to FOUR keypoints per contraction.**
+   The descriptor sample span is 7.96*scale + 1.5 around the keypoint, so
+   octave-local scales <= 1.72 (measured ~96% of keypoints) fit a (32, 32)
+   patch and pack 4-per-128-row MXU operand; the rest use a (48, 64) patch
+   packed 2-per-operand (covers scales < 2.58). Phase-4 tent construction —
+   the dominant in-kernel cost (+335 ns/kp of the v2 total, phase ablation)
+   — is per-operand, so the small bucket halves it. The XLA wrapper
+   stable-compacts each bucket, runs one kernel per geometry (count-gated:
+   capacity padding is free), and scatters results back to slot order.
 
-3. **Everything per-keypoint-scalar is batched across the block.** Gradient
-   angles/weights, the 32-bin histograms' smoothing + peak finding + parabolic
-   interpolation run on (32, B) / (B, 256) arrays for all B=16 keypoints at
-   once (the v1 per-keypoint (32, 1) peak scan serialized ~20 narrow VPU ops
-   per keypoint). Trilinear descriptor binning becomes 8 small lane-contracted
-   matmuls against a shared spatial-weight matrix (exact bf16 hi/lo split),
-   with the final (descriptor-index permutation, L2 normalisation, count
-   masking) done in XLA where they fuse for free.
+3. **Orientation grids: four keypoints per matmul in a (128, 128) tile.**
+   The 13x13 window (+1 gradient halo) lives within rows/cols <= 29 of
+   every patch geometry, so shifted patches narrow to (32, 32) and pack
+   block-diagonally against stacked one-hot selectors (exact f32 via a
+   bf16 hi/lo split of the bilinearly pre-shifted patch).
+
+4. **Everything per-keypoint-scalar is batched across the block.** Gradient
+   angles/weights, the 32-bin histograms' smoothing + peak finding +
+   parabolic interpolation run on (32, B) / (B, 256) arrays for all B=16
+   keypoints at once. Trilinear descriptor binning uses 8 lane-contracted
+   matmuls against a shared spatial-weight matrix — EXACT in bf16 (every
+   trilinear weight is a multiple of 1/64), so no hi/lo pair is needed —
+   with the final permutation/L2-normalisation/masking done in XLA.
 
 Arithmetic matches the split kernels (`ops/pallas/orient.py`,
 `ops/pallas/descriptor.py`) which remain the independently-tested building
 blocks and the DMA fallback: exact one-hot hi/lo selection for the
 orientation grid, octant-reduced atan2, bf16 mean-centered tent sampling,
-trilinear binning weights per cudaSiftD.cu:347-386.
+trilinear binning weights per cudaSiftD.cu:347-386. The small-bucket patch
+has a different mean-centering window, so its descriptors differ from the
+split kernels at the bf16 rounding level only; near image borders the
+smaller margin shifts where the documented index-clamp deviation applies
+(see ops/pallas/orient.py docstring).
 """
 
 from __future__ import annotations
@@ -51,33 +62,40 @@ from jax.experimental.pallas import tpu as pltpu
 from .orient import _atan2_poly
 from .descriptor import _fast_atan2
 
-B = 16       # keypoints per program (8 block-diagonal pairs)
-NPAIR = B // 2
-P = 48       # patch rows
-PW = 64      # patch cols (sample span < +-18 px around col ~22)
+B = 16       # keypoints per program
 S = 1024     # descriptor samples: 256 grid points x 4 taps
 SO = 256     # orientation lanes: 13x13 = 169 grid values, padded
-MARGIN = 22  # patch origin offset; covers octave scales < 2.4
+OW = 32      # orientation window (rows/cols used by the 13x13 grid + halo)
 NF = 8       # per-keypoint scalar fields in the prefetch table
+
+# Patch geometries: (patch rows, patch cols, margin, keypoints per operand).
+# margin >= 7.96*scale_max + 2.5 keeps every descriptor tap un-clamped.
+GEOM_SMALL = (32, 32, 15, 4)   # octave-local scale <= SMALL_MAX_SCALE
+GEOM_LARGE = (48, 64, 22, 2)   # scale < 2.58 (everything the refine emits)
+SMALL_MAX_SCALE = 1.72
 
 # Scalar-prefetch field indices (see `_keypoint_fields`).
 F_LX0, F_LY0, F_FX, F_FY, F_S12, F_CBASE, F_RBASE, F_I2S2 = range(NF)
 
 # Default VMEM budget for the resident image (bytes). ~16 MB physical per
-# core; leave headroom for patches, pair matmuls and output blocks.
+# core; leave headroom for patches, packed matmuls and output blocks.
 VMEM_IMAGE_LIMIT = 12 * 1024 * 1024
+
+_PAD_R = GEOM_LARGE[0] + 8   # shared bottom padding covers both geometries
+_PAD_C = 256
 
 
 def fits_vmem(h: int, w: int) -> bool:
     """Whether an (h, w) f32 image (after edge padding) fits the resident-
     image budget. Callers should fall back to the split DMA kernels when
     this is False (e.g. >1440p octave bases)."""
-    return (h + P + 8) * (w + 256) * 4 <= VMEM_IMAGE_LIMIT
+    return (h + _PAD_R) * (w + _PAD_C) * 4 <= VMEM_IMAGE_LIMIT
 
 
 def _spatial_weights():
     """Shared (16, 256) trilinear spatial weights W[(4*row_cell+col_cell), s]
-    = wr*wc (cudaSiftD.cu:347-386), split into an exact bf16 hi+lo pair."""
+    = wr*wc (cudaSiftD.cu:347-386). Every product is a multiple of 1/64
+    below 1 — EXACT in bf16, so no hi/lo split is needed."""
     rc = jax.lax.broadcasted_iota(jnp.int32, (16, 256), 0)
     s = jax.lax.broadcasted_iota(jnp.int32, (16, 256), 1)
     gxs = (s % 16).astype(jnp.float32) - 7.5
@@ -90,38 +108,58 @@ def _spatial_weights():
     c = (rc % 4).astype(jnp.float32)
     wr = (cy == r) * (1.0 - fy) + (cy + 1.0 == r) * fy
     wc = (cx == c) * (1.0 - fx) + (cx + 1.0 == c) * fx
-    w = wr * wc
-    hi = w.astype(jnp.bfloat16)
-    lo = (w - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
+    return (wr * wc).astype(jnp.bfloat16)
 
 
 def _fused_kernel(
-    oy_ref, ox_ref, ry_ref, rx_ref, cnt_ref, kpfs_ref,  # scalar prefetch
+    oy_ref, ox_ref, ry_ref, rx_ref, cnts_ref, kpfs_ref,  # scalar prefetch
     img_ref, kpc_ref,                                # array inputs
     d1_ref, d2_ref, meta_ref,                        # outputs
-    patf, pcs, vori, vall, vall2, metas,             # scratch
+    patf_s, pcs_s, patf_l, pcs_l,                    # per-geometry scratch
+    vori, vall, vall2, metas,                        # shared scratch
 ):
+    """One kernel, both patch geometries: the keypoint table is laid out as
+    [small bucket | pad to B | large bucket], and each block dispatches to
+    the matching geometry body (``cnts_ref`` = [count_small, aligned small
+    end, count_large]). A single grid avoids paying two full-capacity
+    count-gated kernels when the buckets are unbalanced."""
     blk = pl.program_id(0)
-    total = cnt_ref[0]
+    start = blk * B
+    cnt_s = cnts_ref[0]
+    cs_pad = cnts_ref[1]
+    cnt_l = cnts_ref[2]
+    small = start < cnt_s
+    large = (start >= cs_pad) & (start < cs_pad + cnt_l)
 
-    @pl.when(blk * B >= total)
+    @pl.when(jnp.logical_not(small | large))
     def _():
         d1_ref[...] = jnp.zeros((1, 128, B), jnp.float32)
         d2_ref[...] = jnp.zeros((1, 128, B), jnp.float32)
         meta_ref[...] = jnp.zeros((1, 8, B), jnp.float32)
 
-    @pl.when(blk * B < total)
+    @pl.when(small)
     def _():
+        P, PW, _, pack = GEOM_SMALL
         _block_body(
             blk, oy_ref, ox_ref, ry_ref, rx_ref, kpfs_ref, img_ref, kpc_ref,
-            d1_ref, d2_ref, meta_ref, patf, pcs, vori, vall, vall2, metas,
+            d1_ref, d2_ref, meta_ref, patf_s, pcs_s, vori, vall, vall2,
+            metas, P=P, PW=PW, pack=pack,
+        )
+
+    @pl.when(large)
+    def _():
+        P, PW, _, pack = GEOM_LARGE
+        _block_body(
+            blk, oy_ref, ox_ref, ry_ref, rx_ref, kpfs_ref, img_ref, kpc_ref,
+            d1_ref, d2_ref, meta_ref, patf_l, pcs_l, vori, vall, vall2,
+            metas, P=P, PW=PW, pack=pack,
         )
 
 
 def _block_body(
     blk, oy_ref, ox_ref, ry_ref, rx_ref, kpfs_ref, img_ref, kpc_ref,
     d1_ref, d2_ref, meta_ref, patf, pcs, vori, vall, vall2, metas,
+    *, P, PW, pack,
 ):
     def kf(k, f):
         return kpfs_ref[(blk * B + k) * NF + f]
@@ -141,10 +179,9 @@ def _block_body(
 
     # ---- Phase 2: orientation value grids, FOUR keypoints per matmul. ----
     # The 13x13 window (+1 gradient halo) lives in rows/cols <= 29 of the
-    # patch (cbase, rbase <= 16), so the shifted patch can be narrowed to
-    # (32, 32) and four keypoints packed block-diagonally into one full
+    # patch (cbase, rbase <= margin-6+7), so the shifted patch narrows to
+    # (32, 32) and four keypoints pack block-diagonally into one full
     # (128, 128) MXU tile: one hi + one lo matmul per quad.
-    OW = 32
     lane_o = jax.lax.broadcasted_iota(jnp.int32, (1, SO), 1)
     uy = lane_o // 13
     ux = lane_o - uy * 13
@@ -272,7 +309,7 @@ def _block_body(
         [ori1, ori2, has2, jnp.zeros((5, B), jnp.float32)], axis=0)
     meta_ref[0] = meta
 
-    # ---- Phase 4: descriptor sampling, two keypoints per matmul. ----
+    # ---- Phase 4: descriptor sampling, `pack` keypoints per matmul. ----
     lane_s = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
     tap = lane_s // 256
     rem = lane_s - tap * 256
@@ -282,13 +319,19 @@ def _block_body(
     # (+c,+s), (-c,-s), (-s,+c), (+s,-c); folded into two +-1/0 tap masks.
     ta = jnp.where(tap == 0, 1.0, jnp.where(tap == 1, -1.0, 0.0))  # (1, S)
     tc = jnp.where(tap == 2, 1.0, jnp.where(tap == 3, -1.0, 0.0))
-    sub128s = jax.lax.broadcasted_iota(jnp.int32, (2 * PW, S), 0)
-    qloc = (sub128s - PW * (sub128s >= PW)).astype(jnp.float32)
-    lo_half = sub128s < PW
-    sub96s = jax.lax.broadcasted_iota(jnp.int32, (2 * P, S), 0)
-    ploc = (sub96s - P * (sub96s >= P)).astype(jnp.float32)
-    top_half = sub96s < P
+    subc = jax.lax.broadcasted_iota(jnp.int32, (pack * PW, S), 0)
+    qloc = (subc % PW).astype(jnp.float32)
+    qblk = subc // PW
+    subr = jax.lax.broadcasted_iota(jnp.int32, (pack * P, S), 0)
+    ploc = (subr % P).astype(jnp.float32)
+    pblk = subr // P
     zpat = jnp.zeros((P, PW), jnp.bfloat16)
+
+    def blksel(blk_idx, vals):
+        out = vals[pack - 1]
+        for t in range(pack - 2, -1, -1):
+            out = jnp.where(blk_idx == t, vals[t], out)
+        return out
 
     def sample_coords(k, ori_deg):
         lx0 = kf(k, F_LX0)
@@ -305,40 +348,50 @@ def _block_body(
         sy = jnp.clip(ys + tapy - 0.5, 0.0, P - 1.0)
         return sx, sy
 
-    def desc_pair(j, ori_row, dst):
-        k0, k1 = 2 * j, 2 * j + 1
-        sx0, sy0 = sample_coords(k0, metas[ori_row, k0])
-        sx1, sy1 = sample_coords(k1, metas[ori_row, k1])
-        sxx = jnp.where(lo_half, sx0, sx1)                       # (128, S)
+    def desc_group(j, ori_row, dst):
+        ks = [pack * j + t for t in range(pack)]
+        sxs, sys = [], []
+        for k in ks:
+            sx, sy = sample_coords(k, metas[ori_row, k])
+            sxs.append(sx)
+            sys.append(sy)
+        sxx = blksel(qblk, sxs)                                  # (128, S)
         cols = jnp.maximum(0.0, 1.0 - jnp.abs(qloc - sxx)).astype(jnp.bfloat16)
-        apc = jnp.concatenate(
-            [jnp.concatenate([pcs[k0], zpat], axis=1),
-             jnp.concatenate([zpat, pcs[k1]], axis=1)], axis=0)  # (96, 128)
-        t = jax.lax.dot_general(
+        apc_rows = []
+        for t, k in enumerate(ks):
+            pre = [zpat] * t
+            post = [zpat] * (pack - 1 - t)
+            apc_rows.append(jnp.concatenate(pre + [pcs[k]] + post, axis=1))
+        apc = jnp.concatenate(apc_rows, axis=0)          # (pack*P, pack*PW)
+        t_ = jax.lax.dot_general(
             apc, cols, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                        # (96, S)
-        syy = jnp.where(top_half, sy0, sy1)
+        )                                                        # (pack*P, S)
+        syy = blksel(pblk, sys)
         rowt = jnp.maximum(0.0, 1.0 - jnp.abs(ploc - syy))
-        m = rowt * t
-        dst[k0 : k0 + 1] = jnp.sum(m[:P], axis=0, keepdims=True)
-        dst[k1 : k1 + 1] = jnp.sum(m[P:], axis=0, keepdims=True)
+        m = rowt * t_
+        for t, k in enumerate(ks):
+            dst[k : k + 1] = jnp.sum(
+                m[t * P : (t + 1) * P], axis=0, keepdims=True)
 
-    for j in range(NPAIR):
-        desc_pair(j, 0, vall)
+    for j in range(B // pack):
+        desc_group(j, 0, vall)
 
-        pair_has2 = (metas[2, 2 * j] > 0.5) | (metas[2, 2 * j + 1] > 0.5)
+        group_has2 = metas[2, pack * j] > 0.5
+        for t in range(1, pack):
+            group_has2 = group_has2 | (metas[2, pack * j + t] > 0.5)
 
-        @pl.when(pair_has2)
+        @pl.when(group_has2)
         def _(j=j):
-            desc_pair(j, 1, vall2)
+            desc_group(j, 1, vall2)
 
-        @pl.when(jnp.logical_not(pair_has2))
+        @pl.when(jnp.logical_not(group_has2))
         def _(j=j):
-            vall2[2 * j : 2 * j + 2] = jnp.zeros((2, S), jnp.float32)
+            vall2[pack * j : pack * (j + 1)] = jnp.zeros(
+                (pack, S), jnp.float32)
 
     # ---- Phase 5: batched binning via shared spatial-weight matmuls. ----
-    whi, wlo = _spatial_weights()
+    whi = _spatial_weights()
     lane256 = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
     gxs = (lane256 % 16).astype(jnp.float32) - 7.5
     gys = (lane256 // 16).astype(jnp.float32) - 7.5
@@ -362,9 +415,6 @@ def _block_body(
             da = jax.lax.dot_general(
                 whi, ga, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) + jax.lax.dot_general(
-                wlo, ga, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
             )                                                    # (16, B)
             out.append(da)
         # Row layout d' = 8*a + ... stacked as (128, B) with row a*16+rc;
@@ -375,36 +425,19 @@ def _block_body(
     finish(vall2[...], d2_ref)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def orient_and_describe_pallas(
-    img: jnp.ndarray,
-    xpos: jnp.ndarray,
-    ypos: jnp.ndarray,
-    scale: jnp.ndarray,
-    interpret: bool = False,
-    count: jnp.ndarray | None = None,
-):
-    """Fused orientation + descriptors for ``count`` live keypoints.
+def _call_kernel(img, xpos, ypos, scale, margins, cnts, interpret):
+    """Invoke the two-geometry kernel on a bucket-ordered keypoint table.
 
-    Returns (desc1 (N, 128), desc2 (N, 128), ori1 (N,), ori2 (N,),
-    has2 (N,) bool). ``desc2``/``ori2`` are the second-peak duplicates,
-    valid where ``has2``. The image (padded) must satisfy ``fits_vmem``.
+    ``img`` must already carry the shared (_PAD_R, _PAD_C) edge padding;
+    ``margins`` holds each table position's patch margin (geometry-matched
+    to the block dispatch driven by ``cnts`` = [cnt_small, aligned small
+    end, cnt_large]). Returns the raw blocked kernel outputs.
     """
-    n_in = xpos.shape[0]
-    if count is None:
-        count = jnp.int32(n_in)
-    count = jnp.asarray(count, jnp.int32)
-    pad = (-n_in) % B
-    if pad:
-        xpos, ypos, scale = (jnp.pad(a, (0, pad)) for a in (xpos, ypos, scale))
-        scale = scale.at[n_in:].set(1.0)
     n = xpos.shape[0]
-    img = jnp.pad(img, ((0, P + 8), (0, 256)), mode="edge")
-
     fl_x = jnp.floor(xpos)
     fl_y = jnp.floor(ypos)
-    o_y = jnp.maximum(fl_y.astype(jnp.int32) - MARGIN, 0)
-    o_x = jnp.maximum(fl_x.astype(jnp.int32) - MARGIN, 0)
+    o_y = jnp.maximum(fl_y.astype(jnp.int32) - margins, 0)
+    o_x = jnp.maximum(fl_x.astype(jnp.int32) - margins, 0)
     oy = o_y // 8 * 8
     ry = o_y - oy
     ox = o_x // 128 * 128
@@ -426,6 +459,8 @@ def orient_and_describe_pallas(
     kpfs = fields.reshape(-1)
     kpc = fields.reshape(n // B, B, NF)
 
+    P_s, PW_s, _, _ = GEOM_SMALL
+    P_l, PW_l, _, _ = GEOM_LARGE
     nb = n // B
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
@@ -440,8 +475,10 @@ def orient_and_describe_pallas(
             pl.BlockSpec((1, 8, B), lambda i, *_: (i, 0, 0)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((B, P, PW), jnp.float32),       # patf
-            pltpu.VMEM((B, P, PW), jnp.bfloat16),      # pcs
+            pltpu.VMEM((B, P_s, PW_s), jnp.float32),   # patf_s
+            pltpu.VMEM((B, P_s, PW_s), jnp.bfloat16),  # pcs_s
+            pltpu.VMEM((B, P_l, PW_l), jnp.float32),   # patf_l
+            pltpu.VMEM((B, P_l, PW_l), jnp.bfloat16),  # pcs_l
             pltpu.VMEM((B, SO), jnp.float32),          # vori
             pltpu.VMEM((B, S), jnp.float32),           # vall
             pltpu.VMEM((B, S), jnp.float32),           # vall2
@@ -449,7 +486,7 @@ def orient_and_describe_pallas(
         ],
     )
     vmem_limit = img.shape[0] * img.shape[1] * 4 + 3 * 1024 * 1024
-    d1, d2, meta = pl.pallas_call(
+    return pl.pallas_call(
         _fused_kernel,
         out_shape=(
             jax.ShapeDtypeStruct((nb, 128, B), jnp.float32),
@@ -462,18 +499,79 @@ def orient_and_describe_pallas(
             vmem_limit_bytes=int(vmem_limit),
         ),
     )(
-        oy, ox, ry, rx, jnp.atleast_1d(count), kpfs,
+        oy, ox, ry, rx, cnts, kpfs,
         img, kpc,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def orient_and_describe_pallas(
+    img: jnp.ndarray,
+    xpos: jnp.ndarray,
+    ypos: jnp.ndarray,
+    scale: jnp.ndarray,
+    interpret: bool = False,
+    count: jnp.ndarray | None = None,
+):
+    """Fused orientation + descriptors for ``count`` live keypoints.
+
+    Returns (desc1 (N, 128), desc2 (N, 128), ori1 (N,), ori2 (N,),
+    has2 (N,) bool). ``desc2``/``ori2`` are the second-peak duplicates,
+    valid where ``has2``. The image (padded) must satisfy ``fits_vmem``.
+
+    Keypoints are stable-compacted into a [small | large] bucket layout by
+    octave-local scale (<= SMALL_MAX_SCALE -> 4-packed (32,32) patches,
+    else 2-packed (48,64)); ONE kernel dispatches the matching geometry per
+    block (count-gated: capacity padding is free), and the results scatter
+    back to slot order.
+    """
+    n_in = xpos.shape[0]
+    if count is None:
+        count = jnp.int32(n_in)
+    count = jnp.asarray(count, jnp.int32)
+    pad = (-n_in) % B
+    if pad:
+        xpos, ypos, scale = (jnp.pad(a, (0, pad)) for a in (xpos, ypos, scale))
+        scale = scale.at[n_in:].set(1.0)
+    n = xpos.shape[0]
+    nc = n + B   # bucket table capacity: +B absorbs the alignment gap
+    img = jnp.pad(img, ((0, _PAD_R), (0, _PAD_C)), mode="edge")
+
+    slots = jnp.arange(n)
+    live = slots < count
+    is_small = live & (scale <= SMALL_MAX_SCALE)
+    is_large = live & jnp.logical_not(scale <= SMALL_MAX_SCALE)
+
+    pos_s = jnp.cumsum(is_small.astype(jnp.int32)) - 1
+    cnt_s = jnp.maximum(pos_s[-1] + 1, 0).astype(jnp.int32)
+    pos_l = jnp.cumsum(is_large.astype(jnp.int32)) - 1
+    cnt_l = jnp.maximum(pos_l[-1] + 1, 0).astype(jnp.int32)
+    cs_pad = (cnt_s + B - 1) // B * B
+
+    # Table position of each slot; dead slots drop out of the scatter.
+    bucket_pos = jnp.where(
+        is_small, pos_s, jnp.where(is_large, cs_pad + pos_l, nc)
+    )
+    # idx[j] = source slot of table position j (0 for gap/padding rows).
+    idx = jnp.zeros((nc,), jnp.int32).at[bucket_pos].set(slots, mode="drop")
+    jpos = jnp.arange(nc)
+    live_pos = (jpos < cnt_s) | ((jpos >= cs_pad) & (jpos < cs_pad + cnt_l))
+    bx = xpos[idx]
+    by = ypos[idx]
+    bs = jnp.where(live_pos, scale[idx], 1.0)
+    margins = jnp.where(jpos < cs_pad, GEOM_SMALL[2], GEOM_LARGE[2])
+    cnts = jnp.stack([cnt_s, cs_pad, cnt_l])
+
+    d1, d2, meta = _call_kernel(img, bx, by, bs, margins, cnts, interpret)
 
     # Kernel rows are a*16 + rc; the reference descriptor index is
     # d = 8*rc + a (cudaSiftD.cu:347-386 bin layout).
     d = jnp.arange(128)
     perm = (d % 8) * 16 + d // 8
-    valid = (jnp.arange(n) < count)[:, None]
+    valid = live_pos[:, None]
 
     def unpack(raw):
-        x = raw[:, perm, :].transpose(0, 2, 1).reshape(n, 128)
+        x = raw[:, perm, :].transpose(0, 2, 1).reshape(nc, 128)
         # L2 -> clamp 0.2 -> L2 (cudaSiftD.cu:390-409).
         n1 = jax.lax.rsqrt(
             jnp.maximum(jnp.sum(x * x, axis=1, keepdims=True), 1e-30))
@@ -482,14 +580,28 @@ def orient_and_describe_pallas(
             jnp.maximum(jnp.sum(t1 * t1, axis=1, keepdims=True), 1e-30))
         return jnp.where(valid, t1 * n2, 0.0)
 
-    desc1 = unpack(d1)[:n_in]
-    meta = meta.transpose(0, 2, 1).reshape(n, 8)
-    vmask = valid[:, 0]
-    ori1 = jnp.where(vmask, meta[:, 0], 0.0)[:n_in]
-    ori2 = jnp.where(vmask, meta[:, 1], 0.0)[:n_in]
-    has2 = (vmask & (meta[:, 2] > 0.5))[:n_in]
-    # A pair where only one keypoint has a second peak computes both second
-    # descriptors; mask the invalid sibling.
-    desc2 = jnp.where((vmask & (meta[:, 2] > 0.5))[:, None], unpack(d2), 0.0)
-    desc2 = desc2[:n_in]
-    return desc1, desc2, ori1, ori2, has2
+    meta = meta.transpose(0, 2, 1).reshape(nc, 8)
+    has2_pos = live_pos & (meta[:, 2] > 0.5)
+    # A group where only some keypoints have a second peak computes every
+    # member's second descriptor; mask the invalid siblings.
+    results = (
+        unpack(d1),
+        jnp.where(has2_pos[:, None], unpack(d2), 0.0),
+        jnp.where(live_pos, meta[:, 0], 0.0),
+        jnp.where(live_pos, meta[:, 1], 0.0),
+        has2_pos.astype(jnp.float32),
+    )
+    # Scatter from table order back to slot order.
+    dest = jnp.where(live_pos, idx, n)
+    out = tuple(
+        jnp.zeros((n,) + r.shape[1:], r.dtype).at[dest].set(r, mode="drop")
+        for r in results
+    )
+    desc1, desc2, ori1, ori2, has2 = out
+    return (
+        desc1[:n_in],
+        desc2[:n_in],
+        ori1[:n_in],
+        ori2[:n_in],
+        has2[:n_in] > 0.5,
+    )

@@ -268,6 +268,43 @@ def _extract_sift_jit(image, params: SiftParams):
     return _extract_sift_traced(image, params)
 
 
+@partial(jax.jit, static_argnames=("params",))
+def _extract_batch_jit(images, params: SiftParams):
+    # Unrolled, NOT vmapped: vmapping the Pallas keypoint kernels adds a
+    # serializing batch grid dimension and re-runs every compaction at batch
+    # width (measured ~1.6x worse per frame, ROADMAP.md). Unrolling keeps
+    # each frame's stages count-gated at its own keypoint count and lets XLA
+    # overlap independent frames' HBM traffic with compute.
+    outs = [
+        _extract_sift_traced(images[i], params)
+        for i in range(images.shape[0])
+    ]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+
+
+def extract_sift_throughput(
+    images, params: SiftParams = SiftParams()
+) -> SiftData:
+    """Extract SIFT from N same-shaped frames in ONE device program.
+
+    The TPU-native analogue of the reference demo's 1000-iteration
+    extraction loop over a shared temp arena (mainSift.cpp:65-70): instead
+    of amortizing allocations across host-driven calls, amortize the
+    host->device dispatch and program overhead across frames by batching N
+    frames into a single jitted program. Returns a SiftData whose fields
+    carry a leading (N,) batch axis (``num_pts`` has shape (N,)).
+
+    Per-frame device time matches single-frame extraction; the throughput
+    win is the amortized per-call overhead, so larger batches help until
+    compile time / HBM working set dominate. Compiled once per
+    (batch, shape, params).
+    """
+    images = jnp.asarray(images, jnp.float32)
+    if images.ndim != 3:
+        raise ValueError(f"expected (N, H, W) frames, got {images.shape}")
+    return _extract_batch_jit(images, params)
+
+
 def extract_sift(image, params: SiftParams = SiftParams()) -> SiftData:
     """Extract SIFT keypoints + descriptors from a single grayscale image.
 

@@ -144,3 +144,28 @@ def test_keypoint_parity_scale_up(left_image):
             desc_err.append(np.abs(gd[i] - p["desc"]).max())
     assert matched / len(ref) >= 0.99, f"parity {matched}/{len(ref)}"
     assert np.median(desc_err) < 5e-3
+
+
+def test_throughput_batch_matches_single(left_image):
+    """extract_sift_throughput (one program, N frames) must reproduce the
+    single-frame pipeline exactly per frame."""
+    from cudasift_tpu import extract_sift_throughput
+
+    frames = np.stack([
+        left_image[300:396, 400:528],
+        left_image[500:596, 700:828],
+        left_image[100:196, 200:328],
+    ])
+    params = SiftParams(num_octaves=2, thresh=4.0, max_pts=1024)
+    batch = extract_sift_throughput(frames, params)
+    assert batch.num_pts.shape == (3,)
+    for i in range(3):
+        single = extract_sift(frames[i], params)
+        assert int(batch.num_pts[i]) == int(single.num_pts)
+        np.testing.assert_array_equal(
+            np.asarray(batch.xpos[i]), np.asarray(single.xpos))
+        np.testing.assert_array_equal(
+            np.asarray(batch.data[i]), np.asarray(single.data))
+
+    with pytest.raises(ValueError):
+        extract_sift_throughput(frames[0], params)
