@@ -116,6 +116,40 @@ def main():
         results[f"extract_{w}x{h}_ms"] = ms
         log(f"extract {w}x{h}: {ms:.3f} ms")
 
+    # Multi-frame throughput at 1280x960 (batch 4): real end-to-end rates
+    # (walltime incl. dispatch — the number a video pipeline sees), vs the
+    # single-frame rate measured the same way. Reference anchor: the demo's
+    # 1000x amortized extraction loop (mainSift.cpp:65-70).
+    import time as _time
+
+    n_frames = 4
+    frames = np.stack(
+        [make_test_image(960, 1280, seed=i) for i in range(n_frames)]
+    )
+    for i in range(n_frames):
+        frames[i] = np.roll(frames[i], 37 * i, axis=1)
+    fj = jnp.asarray(frames)
+    params_t = cs.SiftParams(num_octaves=5, init_blur=1.0, thresh=3.0,
+                             max_pts=32768)
+
+    def wall_rate(fn, frames_per_call, reps=15):
+        fn()
+        ts = []
+        for _ in range(reps):
+            t0 = _time.perf_counter()
+            fn()
+            ts.append(_time.perf_counter() - t0)
+        return frames_per_call / sorted(ts)[reps // 2]
+
+    fps_1 = wall_rate(
+        lambda: jax.block_until_ready(cs.extract_sift(fj[0], params_t)), 1)
+    fps_n = wall_rate(
+        lambda: jax.block_until_ready(
+            cs.extract_sift_throughput(fj, params_t)), n_frames)
+    results["throughput_1280x960_fps"] = fps_n
+    log(f"throughput 1280x960: single {fps_1:.1f} fps, "
+        f"batch({n_frames}) {fps_n:.1f} fps ({fps_n / fps_1:.2f}x)")
+
     # Matching: 2k x 2k realistic-size descriptor sets; 16k stress config.
     rng = np.random.default_rng(0)
     for n, tag in [(2048, "2k"), (16384, "16k")]:

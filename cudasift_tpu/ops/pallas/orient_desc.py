@@ -191,27 +191,80 @@ def _block_body(
     qblk_o = sub128 // OW
     zq = jnp.zeros((OW, OW), jnp.bfloat16)
 
+    lane4 = jax.lax.broadcasted_iota(jnp.int32, (1, 4 * OW), 1) // OW
+
     for j in range(B // 4):
         ks = [4 * j + t for t in range(4)]
-        his = []
-        los = []
-        for k in ks:
-            fx = kf(k, F_FX)
-            fy = kf(k, F_FY)
-            a = patf[k]
-            # One f32 bilinear shift by (fy, fx): afterwards every
-            # orientation tap is an integer-grid read (exact tex2D semantics
-            # for interior keypoints; border taps clamp the integer index).
-            a_x = pltpu.roll(a, PW - 1, axis=1)
-            a_y = pltpu.roll(a, P - 1, axis=0)
-            a_xy = pltpu.roll(a_x, P - 1, axis=0)
-            pi = (1.0 - fy) * ((1.0 - fx) * a + fx * a_x) + fy * (
-                (1.0 - fx) * a_y + fx * a_xy
+
+        def qsel(vals, blk_idx):
+            out = vals[3]
+            for t in (2, 1, 0):
+                out = jnp.where(blk_idx == t, vals[t], out)
+            return out
+
+        if P == OW and PW == OW:
+            # Lane-stacked quad shift: the four (32,32) patches concatenate
+            # along lanes into ONE (32,128) array, so the bilinear shift
+            # runs at full VPU lane utilization (a (32,32) op occupies the
+            # same 4 register tiles at 25% fill). The rolls wrap values
+            # across patch boundaries only into row/col 31 of each block —
+            # outside the 13x13+halo window (rows/cols <= 22).
+            st = jnp.concatenate([patf[k] for k in ks], axis=1)  # (32, 128)
+            fxv = qsel([kf(k, F_FX) for k in ks], lane4)
+            fyv = qsel([kf(k, F_FY) for k in ks], lane4)
+            a_x = pltpu.roll(st, 4 * OW - 1, axis=1)
+            a_y = pltpu.roll(st, OW - 1, axis=0)
+            a_xy = pltpu.roll(a_x, OW - 1, axis=0)
+            pi = (1.0 - fyv) * ((1.0 - fxv) * st + fxv * a_x) + fyv * (
+                (1.0 - fxv) * a_y + fxv * a_xy
             )
-            pw = pi[:OW, :OW]
-            hi = pw.astype(jnp.bfloat16)
-            his.append(hi)
-            los.append((pw - hi.astype(jnp.float32)).astype(jnp.bfloat16))
+            hi_st = pi.astype(jnp.bfloat16)
+            lo_st = (pi - hi_st.astype(jnp.float32)).astype(jnp.bfloat16)
+
+            def bd4(stacked):
+                # Row-block t keeps only col-block t: the same block
+                # diagonal the per-patch concat construction builds.
+                zb = jnp.zeros_like(stacked)
+                return jnp.concatenate(
+                    [jnp.where(lane4 == t, stacked, zb) for t in range(4)],
+                    axis=0,
+                )                                                # (128, 128)
+
+            ahi = bd4(hi_st)
+            alo = bd4(lo_st)
+        else:
+            his = []
+            los = []
+            for k in ks:
+                fx = kf(k, F_FX)
+                fy = kf(k, F_FY)
+                a = patf[k]
+                # One f32 bilinear shift by (fy, fx): afterwards every
+                # orientation tap is an integer-grid read (exact tex2D
+                # semantics for interior keypoints; border taps clamp the
+                # integer index).
+                a_x = pltpu.roll(a, PW - 1, axis=1)
+                a_y = pltpu.roll(a, P - 1, axis=0)
+                a_xy = pltpu.roll(a_x, P - 1, axis=0)
+                pi = (1.0 - fy) * ((1.0 - fx) * a + fx * a_x) + fy * (
+                    (1.0 - fx) * a_y + fx * a_xy
+                )
+                pw = pi[:OW, :OW]
+                hi = pw.astype(jnp.bfloat16)
+                his.append(hi)
+                los.append((pw - hi.astype(jnp.float32)).astype(jnp.bfloat16))
+
+            def bdq(blocks):
+                rows_ = []
+                for t in range(4):
+                    pre = [zq] * t
+                    post = [zq] * (3 - t)
+                    rows_.append(
+                        jnp.concatenate(pre + [blocks[t]] + post, axis=1))
+                return jnp.concatenate(rows_, axis=0)            # (128, 128)
+
+            ahi = bdq(his)
+            alo = bdq(los)
 
         cols = [
             jnp.clip(kf(k, F_CBASE).astype(jnp.int32) + ux, 0, OW - 1)
@@ -223,19 +276,11 @@ def _block_body(
                       jnp.where(qblk_o == 2, cols[2], cols[3])))
         onec = (qloc_o == colsel).astype(jnp.bfloat16)           # (128, SO)
 
-        def bd4(blocks):
-            rows_ = []
-            for t in range(4):
-                pre = [zq] * t
-                post = [zq] * (3 - t)
-                rows_.append(jnp.concatenate(pre + [blocks[t]] + post, axis=1))
-            return jnp.concatenate(rows_, axis=0)                # (128, 128)
-
         t4 = jax.lax.dot_general(
-            bd4(his), onec, (((1,), (0,)), ((), ())),
+            ahi, onec, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + jax.lax.dot_general(
-            bd4(los), onec, (((1,), (0,)), ((), ())),
+            alo, onec, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                        # (128, SO)
         rows = [
