@@ -69,21 +69,43 @@ def _dog_kernel(k_ref, a_ref, b_ref, c_ref, thr_ref, dims_ref,
         (row_g >= 1) & (row_g <= height - 2) & (col_g >= 1) & (col_g <= width - 2)
     )
 
+    # Separable shared 3x3 max/min per plane: column-triple reductions (cm)
+    # feed both the full 3x3 pools (m3/n3, reused by the two scales that
+    # see the plane as an outer neighbor) and the center-excluded
+    # 8-neighborhood pools. max/min are associative, so the candidate mask
+    # is bit-identical to the direct 26-neighbor scan at ~2.5x fewer VPU ops.
+    cmx, cmn, m3x, m3n = [], [], [], []
+    for p in dogs:
+        cx = jnp.maximum(
+            jnp.maximum(p[:, 0:w_out], p[:, 1 : w_out + 1]),
+            p[:, 2 : w_out + 2],
+        )                                                   # (18, w_out)
+        cn = jnp.minimum(
+            jnp.minimum(p[:, 0:w_out], p[:, 1 : w_out + 1]),
+            p[:, 2 : w_out + 2],
+        )
+        cmx.append(cx)
+        cmn.append(cn)
+        m3x.append(jnp.maximum(jnp.maximum(cx[0:TH], cx[1 : TH + 1]),
+                               cx[2 : TH + 2]))             # (16, w_out)
+        m3n.append(jnp.minimum(jnp.minimum(cn[0:TH], cn[1 : TH + 1]),
+                               cn[2 : TH + 2]))
+
     for s in range(5):
-        c = dogs[s + 1][1:17, 1 : w_out + 1]
-        neg = jnp.float32(-jnp.inf)
-        pos = jnp.float32(jnp.inf)
-        nmax = jnp.full_like(c, neg)
-        nmin = jnp.full_like(c, pos)
-        for ds in (0, 1, 2):
-            plane = dogs[s + ds]
-            for dy in (0, 1, 2):
-                for dx in (0, 1, 2):
-                    if ds == 1 and dy == 1 and dx == 1:
-                        continue
-                    v = plane[dy : dy + TH, dx : dx + w_out]
-                    nmax = jnp.maximum(nmax, v)
-                    nmin = jnp.minimum(nmin, v)
+        mid = dogs[s + 1]
+        c = mid[1:17, 1 : w_out + 1]
+        # Center plane, center pixel excluded: top/bottom column-triples
+        # plus the middle row's left/right neighbors.
+        c8x = jnp.maximum(
+            jnp.maximum(cmx[s + 1][0:TH], cmx[s + 1][2 : TH + 2]),
+            jnp.maximum(mid[1:17, 0:w_out], mid[1:17, 2 : w_out + 2]),
+        )
+        c8n = jnp.minimum(
+            jnp.minimum(cmn[s + 1][0:TH], cmn[s + 1][2 : TH + 2]),
+            jnp.minimum(mid[1:17, 0:w_out], mid[1:17, 2 : w_out + 2]),
+        )
+        nmax = jnp.maximum(jnp.maximum(m3x[s], m3x[s + 2]), c8x)
+        nmin = jnp.minimum(jnp.minimum(m3n[s], m3n[s + 2]), c8n)
         is_ext = (c > jnp.maximum(thresh, nmax)) | (
             c < jnp.minimum(-thresh, nmin)
         )
