@@ -114,6 +114,16 @@ class SiftParams:
     # for VMEM (see ops.pallas.orient_desc.fits_vmem) fall back to the
     # split DMA kernels automatically.
     use_fused: bool = True
+    # Opt-in approximate descriptor sampling (TPU fused path only): sample
+    # central-difference gradient fields at the 256 rotated grid points and
+    # rotate, instead of 4 bilinear taps per sample. ~2x cheaper descriptor
+    # stage; descriptors deviate from the reference's
+    # interpolate-then-difference by O(h^2) curvature terms (cosine >= 0.93,
+    # median 0.998 vs exact). The ratio test is hypersensitive to this on
+    # repetitive scenes — the bundled-pair match rate drops 36.9% -> 19.9%
+    # (tests/test_envelope.py guards the level) — so it suits throughput-
+    # over-precision workloads only and is OFF by default.
+    fast_gradients: bool = False
 
     def octave_shapes(self, height: int, width: int) -> tuple[tuple[int, int], ...]:
         """Image shape per octave, index 0 = full working resolution.

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..sift_data import SiftData
-from .linalg import solve_batched
+from .linalg import solve_batched, weighted_lstsq8
 
 
 def _compact_valid(mask: jnp.ndarray, capacity: int):
@@ -80,14 +80,27 @@ def _dlt_batch(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
 
 def _inlier_counts(
     h8: jnp.ndarray, x1, y1, x2, y2, valid: jnp.ndarray, thresh: float
-) -> jnp.ndarray:
-    """Division-free inlier counting (TestHomographies, matching.cu:969-981)."""
+):
+    """Inlier count + truncated-quadratic (MSAC) score per candidate.
+
+    The count is the reference's division-free test (TestHomographies,
+    matching.cu:969-981). The MSAC score sum(min(err^2, thresh^2)) breaks
+    count ties toward the SHARP consensus: on repetitive scenes two rival
+    homographies (true-instance and shifted-instance matches) can certify
+    near-identical inlier counts at `thresh` while differing hugely in
+    residual tightness (measured on data/left+righ at thresh 4.0: both
+    ~1005 inliers at 5 px, but 868 vs 284 survivors at 3 px).
+    """
     nomx = h8[:, 0:1] * x1 + h8[:, 1:2] * y1 + h8[:, 2:3]
     nomy = h8[:, 3:4] * x1 + h8[:, 4:5] * y1 + h8[:, 5:6]
     deno = h8[:, 6:7] * x1 + h8[:, 7:8] * y1 + 1.0
-    err2 = (x2 * deno - nomx) ** 2 + (y2 * deno - nomy) ** 2
-    ok = (err2 < thresh * thresh * deno * deno) & valid[None, :]
-    return jnp.sum(ok, axis=1)
+    t2 = thresh * thresh
+    err2s = (x2 * deno - nomx) ** 2 + (y2 * deno - nomy) ** 2
+    ok = (err2s < t2 * deno * deno) & valid[None, :]
+    deno2 = jnp.maximum(deno * deno, 1e-12)
+    err2 = jnp.minimum(err2s / deno2, t2)
+    msac = jnp.sum(jnp.where(valid[None, :], err2, 0.0), axis=1)
+    return jnp.sum(ok, axis=1), msac
 
 
 def find_homography(
@@ -140,14 +153,63 @@ def find_homography(
     h8 = hp.reshape(-1, 9)[:, :8]
     h8 = jnp.where(jnp.isfinite(h8), h8, 0.0)
 
-    counts = _inlier_counts(
+    counts, msac = _inlier_counts(
         h8, data.xpos[None, :], data.ypos[None, :],
         data.match_xpos[None, :], data.match_ypos[None, :],
         valid_pts, thresh,
     )
-    best = jnp.argmax(counts)
+    best = jnp.argmin(msac)
     best_h8 = h8[best]
     num_matches = counts[best]
+
+    # Locally-optimized refit (LO-RANSAC): re-solve the winner on its OWN
+    # inlier set — ALL valid matches within `thresh`, not just the
+    # score/ambiguity-gated candidates the quads were drawn from. The
+    # reference returns the raw 4-point DLT winner (matching.cu:1067-1075)
+    # and relies on ImproveHomography's gated IRLS to polish it; on
+    # repetitive scenes the ratio test passes only tens of pairs, far too
+    # few for that polish to pin the perspective row. Refitting on the
+    # vote's global consensus set (~1000 pairs on the bundled pair) is
+    # support the reference's own TestHomographies already certifies.
+    # Documented deviation (ROADMAP.md).
+    def lo_refit(h8_cur, _):
+        hcur = jnp.concatenate(
+            [h8_cur, jnp.ones((1,), h8_cur.dtype)]).reshape(3, 3)
+        den = hcur[2, 0] * data.xpos + hcur[2, 1] * data.ypos + 1.0
+        den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+        px = (hcur[0, 0] * data.xpos + hcur[0, 1] * data.ypos + hcur[0, 2]) / den
+        py = (hcur[1, 0] * data.xpos + hcur[1, 1] * data.ypos + hcur[1, 2]) / den
+        err2 = (px - data.match_xpos) ** 2 + (py - data.match_ypos) ** 2
+        w = (valid_pts & (err2 < thresh * thresh)).astype(jnp.float32)
+        ix1, iy1 = s1 * (data.xpos - cx1), s1 * (data.ypos - cy1)
+        ix2 = s2 * (data.match_xpos - cx2)
+        iy2 = s2 * (data.match_ypos - cy2)
+        ones = jnp.ones_like(ix1)
+        zeros = jnp.zeros_like(ix1)
+        ya = jnp.stack(
+            [ix1, iy1, ones, zeros, zeros, zeros, -ix1 * ix2, -iy1 * ix2], 1)
+        yb = jnp.stack(
+            [zeros, zeros, zeros, ix1, iy1, ones, -ix1 * iy2, -iy1 * iy2], 1)
+        # Thin-QR weighted least squares (see ops/linalg.weighted_lstsq8):
+        # f32 normal equations lose the perspective row at this support.
+        a, ok = weighted_lstsq8(ya, yb, w, ix2, iy2)
+        hn = jnp.concatenate([a, jnp.ones((1,), a.dtype)]).reshape(3, 3)
+        hr = t2inv @ hn @ t1
+        h22r = jnp.where(jnp.abs(hr[2, 2]) < 1e-12, 1e-12, hr[2, 2])
+        hr8 = (hr / h22r).reshape(9)[:8]
+        ok = ok & jnp.all(jnp.isfinite(hr8))
+        return jnp.where(ok, hr8, h8_cur), None
+
+    refit_h8, _ = jax.lax.scan(lo_refit, best_h8, None, length=4)
+    refit_counts, refit_msac = _inlier_counts(
+        refit_h8[None], data.xpos[None, :], data.ypos[None, :],
+        data.match_xpos[None, :], data.match_ypos[None, :],
+        valid_pts, thresh,
+    )
+    # Keep whichever model scores better (standard LO-RANSAC).
+    better = refit_msac[0] <= msac[best]
+    best_h8 = jnp.where(better, refit_h8, best_h8)
+    num_matches = jnp.where(better, refit_counts[0], num_matches)
 
     enough = num_good >= 8
     identity = jnp.array([1.0, 0, 0, 0, 1.0, 0, 0, 0], jnp.float32)
@@ -222,29 +284,51 @@ def improve_homography(
         py = (h[1, 0] * x1 + h[1, 1] * y1 + h[1, 2]) / den
         return (px - x2) ** 2 + (py - y2) ** 2
 
+    def solve_weighted(w):
+        """One weighted least-squares update -> denormalized homography.
+
+        Thin-QR instead of the reference's float64 normal equations
+        (geomFuncs.cpp:17-55): in f32 the normal equations square the
+        condition number and lose the perspective row (ops/linalg.py).
+        """
+        a, ok = weighted_lstsq8(ya, yb, w, nx2, ny2)
+        hn = jnp.concatenate([a, jnp.ones((1,), a.dtype)]).reshape(3, 3)
+        h_new = t2inv @ hn @ t1
+        h22 = jnp.where(jnp.abs(h_new[2, 2]) < 1e-12, 1e-12, h_new[2, 2])
+        h_new = h_new / h22
+        ok = ok & jnp.all(jnp.isfinite(h_new))
+        return h_new, ok
+
     def body(_, h):
         err = errors(h)
-        w = (gated & (err < limit)).astype(jnp.float32)
+        # The reference's update: gated (score/ambiguity-filtered) support.
         # An 8-parameter solve needs >= 4 correspondences (8 equations);
         # with fewer the normal equations are singular — keep the current
         # homography instead of collapsing (the reference feeds the same
         # near-empty systems to cv::solve and gets garbage back).
-        enough = jnp.sum(w) >= 4.0
-        m = (
-            jnp.einsum("ni,nj,n->ij", ya, ya, w, precision="highest")
-            + jnp.einsum("ni,nj,n->ij", yb, yb, w, precision="highest")
+        w_gated = (gated & (err < limit)).astype(jnp.float32)
+        h_gated, ok_gated = solve_weighted(w_gated)
+        # Fallback support: the current global consensus. With only tens of
+        # gated pairs (the ratio test on repetitive scenes) the f32 solve
+        # under-determines the perspective row and extrapolates badly — the
+        # reference is only safe here because cv::solve runs in float64
+        # (geomFuncs.cpp:17-55). Documented deviation (ROADMAP.md).
+        w_glob = (valid & (err < limit)).astype(jnp.float32)
+        h_glob, ok_glob = solve_weighted(w_glob)
+
+        # Keep whichever candidate certifies the largest global consensus —
+        # the quantity numFit measures; ties prefer the reference's update.
+        cnt_cur = jnp.sum(valid & (err < limit))
+        cnt_gated = jnp.where(
+            ok_gated, jnp.sum(valid & (errors(h_gated) < limit)), -1)
+        cnt_glob = jnp.where(
+            ok_glob, jnp.sum(valid & (errors(h_glob) < limit)), -1)
+        best = jnp.maximum(cnt_cur, jnp.maximum(cnt_gated, cnt_glob))
+        h_out = jnp.where(
+            cnt_gated == best, h_gated,
+            jnp.where(cnt_glob == best, h_glob, h),
         )
-        rhs = (
-            jnp.einsum("ni,n->i", ya, w * nx2, precision="highest")
-            + jnp.einsum("ni,n->i", yb, w * ny2, precision="highest")
-        )
-        m = m + 1e-8 * jnp.eye(8, dtype=m.dtype)
-        a = solve_batched(m, rhs)
-        hn = jnp.concatenate([a, jnp.ones((1,), a.dtype)]).reshape(3, 3)
-        h_new = t2inv @ hn @ t1
-        h_new = h_new / h_new[2, 2]
-        ok = enough & jnp.all(jnp.isfinite(h_new))
-        return jnp.where(ok, h_new, h)
+        return h_out
 
     h = homography / homography[2, 2]
     h = jax.lax.fori_loop(0, num_loops, body, h)

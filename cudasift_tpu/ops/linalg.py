@@ -53,3 +53,49 @@ def solve_batched(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         # Normalize the pivot row.
         aug = aug.at[..., k, :].set(aug[..., k, :] / pivot[..., 0, :])
     return aug[..., :, n]
+
+
+def weighted_lstsq8(ya, yb, w, bx, by):
+    """Weighted least squares for the 8-parameter DLT rows, via thin QR.
+
+    Solves min over a of ||sqrt(w) (Y a - b)|| where Y stacks ``ya`` and
+    ``yb`` (each (n, 8)) and b stacks ``bx``/``by``. The reference forms
+    the normal equations and Cholesky-solves them in float64
+    (geomFuncs.cpp:17-55); in float32 that squares the condition number and
+    loses the perspective row. Modified Gram-Schmidt with
+    re-orthogonalization keeps the error at kappa(A)*eps_f32 — adequate for
+    Hartley-normalized designs — using only dots/axpys XLA runs well on
+    any backend. Returns (a (8,), ok) where ok requires >= 4 weighted rows
+    and a numerically nonsingular R.
+    """
+    sw = jnp.sqrt(w)
+    a_mat = jnp.concatenate([ya * sw[:, None], yb * sw[:, None]], axis=0)
+    b = jnp.concatenate([sw * bx, sw * by], axis=0)
+
+    n8 = 8
+    qs = []
+    r = jnp.zeros((n8, n8), jnp.float32)
+    qtb = jnp.zeros((n8,), jnp.float32)
+    ok = jnp.sum(w) >= 4.0
+    for j in range(n8):
+        v = a_mat[:, j]
+        for _pass in range(2):  # MGS with re-orthogonalization
+            for i in range(j):
+                cij = jnp.sum(qs[i] * v)
+                r = r.at[i, j].add(cij)
+                v = v - cij * qs[i]
+        nj = jnp.sqrt(jnp.sum(v * v))
+        ok = ok & (nj > 1e-12)
+        nj_safe = jnp.maximum(nj, 1e-30)
+        q = v / nj_safe
+        r = r.at[j, j].set(nj)
+        qtb = qtb.at[j].set(jnp.sum(q * b))
+        qs.append(q)
+
+    # Back substitution on the 8x8 upper-triangular R.
+    a = jnp.zeros((n8,), jnp.float32)
+    for j in range(n8 - 1, -1, -1):
+        s = qtb[j] - jnp.sum(r[j, j + 1 :] * a[j + 1 :])
+        a = a.at[j].set(s / jnp.maximum(r[j, j], 1e-30))
+    ok = ok & jnp.all(jnp.isfinite(a))
+    return a, ok

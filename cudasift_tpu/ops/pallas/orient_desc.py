@@ -116,7 +116,9 @@ def _fused_kernel(
     img_ref, kpc_ref,                                # array inputs
     d1_ref, d2_ref, meta_ref,                        # outputs
     patf_s, pcs_s, patf_l, pcs_l,                    # per-geometry scratch
-    vori, vall, vall2, metas,                        # shared scratch
+    gx_s, gy_s, gx_l, gy_l,                          # fast-gradient scratch
+    vori, vall, vall2, metas, vrot,                  # shared scratch
+    *, fast,
 ):
     """One kernel, both patch geometries: the keypoint table is laid out as
     [small bucket | pad to B | large bucket], and each block dispatches to
@@ -142,8 +144,8 @@ def _fused_kernel(
         P, PW, _, pack = GEOM_SMALL
         _block_body(
             blk, oy_ref, ox_ref, ry_ref, rx_ref, kpfs_ref, img_ref, kpc_ref,
-            d1_ref, d2_ref, meta_ref, patf_s, pcs_s, vori, vall, vall2,
-            metas, P=P, PW=PW, pack=pack,
+            d1_ref, d2_ref, meta_ref, patf_s, pcs_s, gx_s, gy_s, vori, vall,
+            vall2, metas, vrot, P=P, PW=PW, pack=pack, fast=fast,
         )
 
     @pl.when(large)
@@ -151,15 +153,16 @@ def _fused_kernel(
         P, PW, _, pack = GEOM_LARGE
         _block_body(
             blk, oy_ref, ox_ref, ry_ref, rx_ref, kpfs_ref, img_ref, kpc_ref,
-            d1_ref, d2_ref, meta_ref, patf_l, pcs_l, vori, vall, vall2,
-            metas, P=P, PW=PW, pack=pack,
+            d1_ref, d2_ref, meta_ref, patf_l, pcs_l, gx_l, gy_l, vori, vall,
+            vall2, metas, vrot, P=P, PW=PW, pack=pack, fast=fast,
         )
 
 
 def _block_body(
     blk, oy_ref, ox_ref, ry_ref, rx_ref, kpfs_ref, img_ref, kpc_ref,
-    d1_ref, d2_ref, meta_ref, patf, pcs, vori, vall, vall2, metas,
-    *, P, PW, pack,
+    d1_ref, d2_ref, meta_ref, patf, pcs, gxf, gyf, vori, vall, vall2, metas,
+    vrot,
+    *, P, PW, pack, fast,
 ):
     def kf(k, f):
         return kpfs_ref[(blk * B + k) * NF + f]
@@ -355,22 +358,47 @@ def _block_body(
     meta_ref[0] = meta
 
     # ---- Phase 4: descriptor sampling, `pack` keypoints per matmul. ----
-    lane_s = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    # In fast mode the sample axis is the 256 grid points (the gx/gy fields
+    # share one tent); in exact mode it is 256 grid points x 4 taps.
+    SS = 256 if fast else S
+    lane_s = jax.lax.broadcasted_iota(jnp.int32, (1, SS), 1)
     tap = lane_s // 256
     rem = lane_s - tap * 256
     gy = (rem // 16).astype(jnp.float32) - 7.5
     gx = (rem - (rem // 16) * 16).astype(jnp.float32) - 7.5
     # Rotated unit gradient taps (cudaSiftD.cu:340-343): tap 0..3 offsets are
     # (+c,+s), (-c,-s), (-s,+c), (+s,-c); folded into two +-1/0 tap masks.
-    ta = jnp.where(tap == 0, 1.0, jnp.where(tap == 1, -1.0, 0.0))  # (1, S)
+    ta = jnp.where(tap == 0, 1.0, jnp.where(tap == 1, -1.0, 0.0))  # (1, SS)
     tc = jnp.where(tap == 2, 1.0, jnp.where(tap == 3, -1.0, 0.0))
-    subc = jax.lax.broadcasted_iota(jnp.int32, (pack * PW, S), 0)
+    subc = jax.lax.broadcasted_iota(jnp.int32, (pack * PW, SS), 0)
     qloc = (subc % PW).astype(jnp.float32)
     qblk = subc // PW
-    subr = jax.lax.broadcasted_iota(jnp.int32, (pack * P, S), 0)
+    subr = jax.lax.broadcasted_iota(jnp.int32, (pack * P, SS), 0)
     ploc = (subr % P).astype(jnp.float32)
     pblk = subr // P
     zpat = jnp.zeros((P, PW), jnp.bfloat16)
+
+    lane_pk = jax.lax.broadcasted_iota(
+        jnp.int32, (1, pack * PW), 1) // PW                      # (1, 128)
+
+    if fast:
+        # Opt-in approximation (SiftParams.fast_gradients): central-
+        # difference gradient fields, sampled once per grid point (256
+        # lanes, shared tent for gx/gy) and rotated batched in the finish
+        # stage — replaces the 4 bilinear taps per sample. Deviates from
+        # interpolate-then-difference by O(h^2) curvature terms. The
+        # fields are computed on the group's lane-concatenated patch stack
+        # (full VPU lanes, like the phase-2 shift); roll wrap-around lands
+        # only in row/col 0 and P-1/PW-1 of each block, which the sample
+        # clip keeps at zero tent weight.
+        for j in range(B // pack):
+            sts = jnp.concatenate(
+                [patf[pack * j + t] for t in range(pack)], axis=1
+            )                                                    # (P, 128)
+            gxf[j] = (pltpu.roll(sts, pack * PW - 1, axis=1)
+                      - pltpu.roll(sts, 1, axis=1)).astype(jnp.bfloat16)
+            gyf[j] = (pltpu.roll(sts, P - 1, axis=0)
+                      - pltpu.roll(sts, 1, axis=0)).astype(jnp.bfloat16)
 
     def blksel(blk_idx, vals):
         out = vals[pack - 1]
@@ -387,37 +415,81 @@ def _block_body(
         sina = jnp.sin(th)
         xs = lx0 + gx * (s12 * cosa) - gy * (s12 * sina) + 0.5
         ys = ly0 + gx * (s12 * sina) + gy * (s12 * cosa) + 0.5
-        tapx = cosa * ta - sina * tc
-        tapy = sina * ta + cosa * tc
-        sx = jnp.clip(xs + tapx - 0.5, 0.0, PW - 1.0)
-        sy = jnp.clip(ys + tapy - 0.5, 0.0, P - 1.0)
-        return sx, sy
+        if fast:
+            # Keep samples off the roll-wrapped border rows/cols.
+            sx = jnp.clip(xs - 0.5, 1.0, PW - 2.0)
+            sy = jnp.clip(ys - 0.5, 1.0, P - 2.0)
+        else:
+            tapx = cosa * ta - sina * tc
+            tapy = sina * ta + cosa * tc
+            sx = jnp.clip(xs + tapx - 0.5, 0.0, PW - 1.0)
+            sy = jnp.clip(ys + tapy - 0.5, 0.0, P - 1.0)
+        return sx, sy, cosa, sina
+
+    def bdiag(mats):
+        rows_ = []
+        for t in range(pack):
+            pre = [zpat] * t
+            post = [zpat] * (pack - 1 - t)
+            rows_.append(jnp.concatenate(pre + [mats[t]] + post, axis=1))
+        return jnp.concatenate(rows_, axis=0)            # (pack*P, pack*PW)
 
     def desc_group(j, ori_row, dst):
         ks = [pack * j + t for t in range(pack)]
-        sxs, sys = [], []
+        sxs, sys, cosas, sinas = [], [], [], []
         for k in ks:
-            sx, sy = sample_coords(k, metas[ori_row, k])
+            sx, sy, cosa, sina = sample_coords(k, metas[ori_row, k])
             sxs.append(sx)
             sys.append(sy)
-        sxx = blksel(qblk, sxs)                                  # (128, S)
+            cosas.append(cosa)
+            sinas.append(sina)
+        sxx = blksel(qblk, sxs)                          # (pack*PW, SS)
         cols = jnp.maximum(0.0, 1.0 - jnp.abs(qloc - sxx)).astype(jnp.bfloat16)
-        apc_rows = []
-        for t, k in enumerate(ks):
-            pre = [zpat] * t
-            post = [zpat] * (pack - 1 - t)
-            apc_rows.append(jnp.concatenate(pre + [pcs[k]] + post, axis=1))
-        apc = jnp.concatenate(apc_rows, axis=0)          # (pack*P, pack*PW)
-        t_ = jax.lax.dot_general(
-            apc, cols, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                        # (pack*P, S)
         syy = blksel(pblk, sys)
         rowt = jnp.maximum(0.0, 1.0 - jnp.abs(ploc - syy))
-        m = rowt * t_
-        for t, k in enumerate(ks):
-            dst[k : k + 1] = jnp.sum(
-                m[t * P : (t + 1) * P], axis=0, keepdims=True)
+        if fast:
+            # Block-diagonalize the group's stacked gradient fields by
+            # lane masking (same construction as the phase-2 bd4).
+            def bdg(stacked):
+                zb = jnp.zeros_like(stacked)
+                return jnp.concatenate(
+                    [jnp.where(lane_pk == t, stacked, zb)
+                     for t in range(pack)],
+                    axis=0,
+                )                                        # (pack*P, 128)
+
+            t_gx = jax.lax.dot_general(
+                bdg(gxf[j]), cols, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                            # (pack*P, 256)
+            t_gy = jax.lax.dot_general(
+                bdg(gyf[j]), cols, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            mgx = rowt * t_gx
+            mgy = rowt * t_gy
+            for t, k in enumerate(ks):
+                # Unrotated field sums in the two halves; finish() rotates
+                # them into the keypoint frame batched over the block,
+                # using the per-keypoint cos/sin staged in vrot.
+                dst[k : k + 1, 0:256] = jnp.sum(
+                    mgx[t * P : (t + 1) * P], axis=0, keepdims=True)
+                dst[k : k + 1, 256:512] = jnp.sum(
+                    mgy[t * P : (t + 1) * P], axis=0, keepdims=True)
+                vrot[k : k + 1, 2 * ori_row : 2 * ori_row + 1] = jnp.full(
+                    (1, 1), cosas[t], jnp.float32)
+                vrot[k : k + 1, 2 * ori_row + 1 : 2 * ori_row + 2] = jnp.full(
+                    (1, 1), sinas[t], jnp.float32)
+        else:
+            apc = bdiag([pcs[k] for k in ks])
+            t_ = jax.lax.dot_general(
+                apc, cols, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                    # (pack*P, S)
+            m = rowt * t_
+            for t, k in enumerate(ks):
+                dst[k : k + 1] = jnp.sum(
+                    m[t * P : (t + 1) * P], axis=0, keepdims=True)
 
     for j in range(B // pack):
         desc_group(j, 0, vall)
@@ -442,9 +514,19 @@ def _block_body(
     gys = (lane256 // 16).astype(jnp.float32) - 7.5
     gweight = jnp.exp(-(gxs * gxs + gys * gys) / 128.0)
 
-    def finish(vals, dref):
-        dxv = vals[:, 0:256] - vals[:, 256:512]                  # (B, 256)
-        dyv = vals[:, 512:768] - vals[:, 768:1024]
+    def finish(vals, dref, row):
+        if fast:
+            # Rotate the sampled gradient-field sums into each keypoint's
+            # frame, batched over the block (cos/sin staged per keypoint).
+            cosv = vrot[:, 2 * row : 2 * row + 1]                # (B, 1)
+            sinv = vrot[:, 2 * row + 1 : 2 * row + 2]
+            sgx = vals[:, 0:256]
+            sgy = vals[:, 256:512]
+            dxv = cosv * sgx + sinv * sgy                        # (B, 256)
+            dyv = cosv * sgy - sinv * sgx
+        else:
+            dxv = vals[:, 0:256] - vals[:, 256:512]              # (B, 256)
+            dyv = vals[:, 512:768] - vals[:, 768:1024]
         grad = jnp.sqrt(dxv * dxv + dyv * dyv) * gweight
         angf = 4.0 / 3.1415 * _fast_atan2(dyv, dxv) + 4.0
         angi_raw = jnp.floor(angf)
@@ -466,11 +548,11 @@ def _block_body(
         # the XLA wrapper permutes to the reference order d = 8*rc + a.
         dref[0] = jnp.concatenate(out, axis=0)
 
-    finish(vall[...], d1_ref)
-    finish(vall2[...], d2_ref)
+    finish(vall[...], d1_ref, 0)
+    finish(vall2[...], d2_ref, 1)
 
 
-def _call_kernel(img, xpos, ypos, scale, margins, cnts, interpret):
+def _call_kernel(img, xpos, ypos, scale, margins, cnts, interpret, fast):
     """Invoke the two-geometry kernel on a bucket-ordered keypoint table.
 
     ``img`` must already carry the shared (_PAD_R, _PAD_C) edge padding;
@@ -524,15 +606,20 @@ def _call_kernel(img, xpos, ypos, scale, margins, cnts, interpret):
             pltpu.VMEM((B, P_s, PW_s), jnp.bfloat16),  # pcs_s
             pltpu.VMEM((B, P_l, PW_l), jnp.float32),   # patf_l
             pltpu.VMEM((B, P_l, PW_l), jnp.bfloat16),  # pcs_l
+            pltpu.VMEM((B // 4, P_s, 4 * PW_s), jnp.bfloat16),  # gx_s
+            pltpu.VMEM((B // 4, P_s, 4 * PW_s), jnp.bfloat16),  # gy_s
+            pltpu.VMEM((B // 2, P_l, 2 * PW_l), jnp.bfloat16),  # gx_l
+            pltpu.VMEM((B // 2, P_l, 2 * PW_l), jnp.bfloat16),  # gy_l
             pltpu.VMEM((B, SO), jnp.float32),          # vori
             pltpu.VMEM((B, S), jnp.float32),           # vall
             pltpu.VMEM((B, S), jnp.float32),           # vall2
             pltpu.VMEM((8, B), jnp.float32),           # metas
+            pltpu.VMEM((B, 128), jnp.float32),         # vrot
         ],
     )
     vmem_limit = img.shape[0] * img.shape[1] * 4 + 3 * 1024 * 1024
     return pl.pallas_call(
-        _fused_kernel,
+        functools.partial(_fused_kernel, fast=fast),
         out_shape=(
             jax.ShapeDtypeStruct((nb, 128, B), jnp.float32),
             jax.ShapeDtypeStruct((nb, 128, B), jnp.float32),
@@ -549,7 +636,7 @@ def _call_kernel(img, xpos, ypos, scale, margins, cnts, interpret):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "fast"))
 def orient_and_describe_pallas(
     img: jnp.ndarray,
     xpos: jnp.ndarray,
@@ -557,6 +644,7 @@ def orient_and_describe_pallas(
     scale: jnp.ndarray,
     interpret: bool = False,
     count: jnp.ndarray | None = None,
+    fast: bool = False,
 ):
     """Fused orientation + descriptors for ``count`` live keypoints.
 
@@ -607,7 +695,8 @@ def orient_and_describe_pallas(
     margins = jnp.where(jpos < cs_pad, GEOM_SMALL[2], GEOM_LARGE[2])
     cnts = jnp.stack([cnt_s, cs_pad, cnt_l])
 
-    d1, d2, meta = _call_kernel(img, bx, by, bs, margins, cnts, interpret)
+    d1, d2, meta = _call_kernel(img, bx, by, bs, margins, cnts, interpret,
+                                fast)
 
     # Kernel rows are a*16 + rc; the reference descriptor index is
     # d = 8*rc + a (cudaSiftD.cu:347-386 bin layout).

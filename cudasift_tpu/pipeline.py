@@ -145,7 +145,8 @@ def _extract_octave(
 
         desc1, desc2, primary, secondary, has_second = (
             orient_and_describe_pallas(
-                base, cands.xpos, cands.ypos, scale_safe, count=cands.count
+                base, cands.xpos, cands.ypos, scale_safe, count=cands.count,
+                fast=params.fast_gradients,
             )
         )
         fields = {

@@ -118,3 +118,31 @@ def test_full_fixture_envelope_upscale(stereo_pair):
     vmask = np.asarray(d1.valid_mask())
     assert np.asarray(d1.xpos)[vmask].max() <= left.shape[1]
     assert np.asarray(d1.ypos)[vmask].max() <= left.shape[0]
+
+
+@pytest.mark.slow
+def test_full_fixture_envelope_fast_gradients(stereo_pair):
+    """Regression guard for the opt-in fast_gradients path at thresh 4.0.
+
+    The gradient-field approximation costs real match quality on this
+    repetitive pair — the ratio test is hypersensitive to descriptor
+    perturbations (measured on TPU at round 2: numFit 434, rate 19.9% vs
+    the exact path's 806 / 36.9%) — so the bands guard today's measured
+    level, not the exact-path envelope. Only meaningful on TPU —
+    fast_gradients lives in the fused Pallas kernel; the CPU/XLA path
+    ignores it."""
+    if jax.default_backend() == "cpu":
+        pytest.skip("fast_gradients is a TPU fused-kernel feature")
+    left, righ = stereo_pair
+    params = SiftParams(num_octaves=5, init_blur=1.0, thresh=4.0,
+                        max_pts=32768, fast_gradients=True)
+    d1 = cs.extract_sift(left, params)
+    d2 = cs.extract_sift(righ, params)
+    d1 = cs.match_sift_data(d1, d2)
+    H, nm = cs.find_homography(d1, jax.random.PRNGKey(0), num_loops=4096,
+                               min_score=0.0, max_ambiguity=0.8, thresh=5.0)
+    H2, numfit, err = cs.improve_homography(d1, H, 5, 0.0, 0.80, 3.0)
+    nmin = min(int(d1.num_pts), int(d2.num_pts))
+    rate = 100.0 * int(numfit) / nmin
+    assert int(numfit) >= 300, numfit
+    assert rate >= 14.0, rate

@@ -57,7 +57,10 @@ def test_inlier_counts_match_golden(rng):
         jnp.ones(50, bool), 3.0,
     )
     ref = golden.count_inliers(h8.astype(np.float64), src, dst, 3.0)
-    assert int(ours[0]) == ref
+    counts, msac = ours
+    assert int(counts[0]) == ref
+    # MSAC score: truncated quadratic, bounded by N * thresh^2.
+    assert 0.0 < float(msac[0]) < 50 * 9.0
 
 
 def test_sample_distinct_quads():

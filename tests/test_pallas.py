@@ -222,3 +222,30 @@ def test_border_keypoints_vs_golden(rng):
         assert np.median(errs) < 0.1, errs
         assert (errs < 3.0).mean() >= 0.85, errs
     assert np.max(derr) < 5e-3, derr
+
+
+def test_fast_gradients_close_to_exact(rng):
+    """Opt-in dense-gradient sampling (SiftParams.fast_gradients): the
+    orientation path is untouched (bit-identical) and descriptors deviate
+    from the 4-tap exact path only by O(h^2) curvature terms — bounded here
+    so the approximation can't silently degrade."""
+    from cudasift_tpu.ops.pallas.orient_desc import orient_and_describe_pallas
+
+    img = make_image(rng)
+    h, w = img.shape
+    n = 16
+    x = jnp.asarray(rng.uniform(25, w - 25, n).astype(np.float32))
+    y = jnp.asarray(rng.uniform(25, h - 25, n).astype(np.float32))
+    s = jnp.asarray(rng.uniform(0.95, 1.85, n).astype(np.float32))
+    exact = orient_and_describe_pallas(jnp.asarray(img), x, y, s,
+                                       interpret=True, fast=False)
+    fast = orient_and_describe_pallas(jnp.asarray(img), x, y, s,
+                                      interpret=True, fast=True)
+    dori = np.abs(np.asarray(exact[2]) - np.asarray(fast[2]))
+    dori = np.minimum(dori, 360.0 - dori)
+    assert dori.max() == 0.0, dori
+    de = np.asarray(exact[0])
+    df = np.asarray(fast[0])
+    cos = (de * df).sum(axis=1)
+    assert cos.min() > 0.97, cos
+    assert np.abs(de - df).max() < 0.08
