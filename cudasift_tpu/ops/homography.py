@@ -6,12 +6,15 @@ chattiest in the codebase: device->host copies of scores, host ``rand()``
 sampling, host->device index upload, two kernels, a host argmax and a pure
 CPU refinement loop using OpenCV's Cholesky solver. Here the whole thing is
 one jitted program: ``jax.random`` sampling, batched 8x8 DLT solves
-(vmapped ``jnp.linalg.solve`` replacing the per-thread LU ``InvertMatrix<8>``,
-matching.cu:821-905), a masked inlier reduction, an on-device argmax, and an
-iteratively reweighted refinement with Hartley-normalized coordinates so the
-normal equations stay well-conditioned in float32 (the reference accumulates
-in float64 on the host; raw pixel-coordinate normal equations overflow f32
-precision).
+(Gauss-Jordan replacing the per-thread LU ``InvertMatrix<8>``,
+matching.cu:821-905), an MSAC-scored vote with an LO-RANSAC inlier refit,
+and an iteratively reweighted refinement. All least-squares updates go
+through a Hartley-normalized thin-QR solve (ops/linalg.weighted_lstsq8):
+the reference can afford float64 normal equations on the host
+(geomFuncs.cpp:17-55); in float32 they square the condition number and
+lose the homography's perspective row, while QR keeps the error at
+kappa(A)*eps and stays platform-stable. See ROADMAP.md for the documented
+deviations from the reference's exact vote/refine semantics.
 """
 
 from __future__ import annotations
