@@ -58,6 +58,43 @@ def extract_sift_batched(
     return run(images, params)
 
 
+def extract_sift_throughput_sharded(
+    images: jnp.ndarray,
+    params: SiftParams,
+    mesh: Mesh,
+    axis: str = "data",
+) -> SiftData:
+    """Pod-scale extraction: DP over frames x the throughput layout per chip.
+
+    The production configuration (ROADMAP multi-chip item): the batch axis
+    shards over the mesh and each device runs the UNROLLED multi-frame
+    program (`pipeline._extract_batch_jit`) on its local shard — unlike
+    `extract_sift_batched`'s vmap, whose batched Pallas kernels serialize
+    with extra grid overhead on real TPUs. Zero collectives; frames feed
+    over DCN, results gather on demand.
+
+    images: (B, H, W) with B divisible by the mesh size. Returns SiftData
+    with a leading sharded batch axis.
+    """
+    from jax.sharding import NamedSharding
+
+    n_dev = mesh.devices.size
+    if images.shape[0] % n_dev:
+        raise ValueError(
+            f"batch {images.shape[0]} not divisible by mesh size {n_dev}"
+        )
+    from ..pipeline import _extract_batch_jit
+
+    fn = jax.shard_map(
+        lambda im: _extract_batch_jit(im, params),
+        mesh=mesh,
+        in_specs=P(axis),
+        out_specs=P(axis),
+    )
+    images = jax.device_put(images, NamedSharding(mesh, P(axis)))
+    return fn(images)
+
+
 def match_descriptors_sharded(
     d1: jnp.ndarray,
     d2: jnp.ndarray,

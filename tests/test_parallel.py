@@ -52,3 +52,26 @@ def test_sharded_matcher_exact(rng, mesh):
     np.testing.assert_array_equal(np.asarray(idx), gi)
     np.testing.assert_allclose(np.asarray(best), gb, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(amb), ga, rtol=1e-4, atol=1e-5)
+
+
+def test_throughput_sharded_matches_single(left_image, mesh):
+    """Pod config: DP over frames x unrolled throughput layout per device
+    must reproduce single-device extraction per frame."""
+    from cudasift_tpu.parallel import extract_sift_throughput_sharded
+    from cudasift_tpu import extract_sift
+
+    frames = np.stack([
+        np.roll(left_image[300:396, 400:528], 7 * i, axis=1)
+        for i in range(8)
+    ])
+    params = SiftParams(num_octaves=2, thresh=4.0, max_pts=512)
+    batch = extract_sift_throughput_sharded(frames, params, mesh)
+    assert batch.xpos.shape == (8, 512)
+    for i in (0, 3, 7):
+        single = extract_sift(frames[i], params)
+        assert int(batch.num_pts[i]) == int(single.num_pts)
+        np.testing.assert_array_equal(
+            np.asarray(batch.xpos[i]), np.asarray(single.xpos))
+
+    with pytest.raises(ValueError):
+        extract_sift_throughput_sharded(frames[:3], params, mesh)
