@@ -311,13 +311,17 @@ def improve_homography(
         # near-empty systems to cv::solve and gets garbage back).
         w_gated = (gated & (err < limit)).astype(jnp.float32)
         h_gated, ok_gated = solve_weighted(w_gated)
-        # Fallback support: the current global consensus. With only tens of
+        # Fallback supports: the current global consensus at `limit`, and a
+        # 2x-radius annealing support that pulls in straggler inliers the
+        # current homography leaves just outside `limit`. With only tens of
         # gated pairs (the ratio test on repetitive scenes) the f32 solve
         # under-determines the perspective row and extrapolates badly — the
         # reference is only safe here because cv::solve runs in float64
         # (geomFuncs.cpp:17-55). Documented deviation (ROADMAP.md).
         w_glob = (valid & (err < limit)).astype(jnp.float32)
         h_glob, ok_glob = solve_weighted(w_glob)
+        w_wide = (valid & (err < 4.0 * limit)).astype(jnp.float32)
+        h_wide, ok_wide = solve_weighted(w_wide)
 
         # Keep whichever candidate certifies the largest global consensus —
         # the quantity numFit measures; ties prefer the reference's update.
@@ -326,10 +330,16 @@ def improve_homography(
             ok_gated, jnp.sum(valid & (errors(h_gated) < limit)), -1)
         cnt_glob = jnp.where(
             ok_glob, jnp.sum(valid & (errors(h_glob) < limit)), -1)
-        best = jnp.maximum(cnt_cur, jnp.maximum(cnt_gated, cnt_glob))
+        cnt_wide = jnp.where(
+            ok_wide, jnp.sum(valid & (errors(h_wide) < limit)), -1)
+        best = jnp.maximum(
+            cnt_cur,
+            jnp.maximum(cnt_gated, jnp.maximum(cnt_glob, cnt_wide)),
+        )
         h_out = jnp.where(
             cnt_gated == best, h_gated,
-            jnp.where(cnt_glob == best, h_glob, h),
+            jnp.where(cnt_glob == best, h_glob,
+                      jnp.where(cnt_wide == best, h_wide, h)),
         )
         return h_out
 

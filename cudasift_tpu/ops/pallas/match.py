@@ -31,30 +31,21 @@ def _match_kernel(n2_ref, d1_ref, d2_ref, out_ref, use_bf16: bool):
 
     a = d1_ref[:, :]
     b = d2_ref[:, :]
-    dims = (((1,), (1,)), ((), ()))
+    # Precision note (measured, round 2): a three-product bf16 split
+    # (drop only lo*lo) reaches 2.2e-6 score error vs float64 and EXACT
+    # f64 index agreement on random 16k sets at half the passes of
+    # HIGHEST (2.80 -> 1.80 ms) — but on the bundled repetitive-texture
+    # pair those last f32 bits carry real signal: near-tie matches flip
+    # and the end-to-end consensus drops (nm 990 -> 858, numFit 806 ->
+    # 557 at thresh 4.0). Match quality is the headline feature, so the
+    # exact path stays on HIGHEST; `use_bf16` remains the speed tier.
     if use_bf16:
-        scores = jax.lax.dot_general(
-            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), dims,
-            preferred_element_type=jnp.float32,
-        )  # (T1, T2)
-    else:
-        # Three-product bf16 split (drop only the lo*lo term): max score
-        # error vs float64 measured 2.2e-6 on 16k normalized sets — below
-        # the ~1e-5 rounding of the reference's own sequential f32 dots —
-        # with EXACT f64 index agreement, at half the MXU passes of
-        # Precision.HIGHEST (16k x 16k: 2.80 -> 1.80 ms).
-        a_hi = a.astype(jnp.bfloat16)
-        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        b_hi = b.astype(jnp.bfloat16)
-        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        scores = (
-            jax.lax.dot_general(a_hi, b_hi, dims,
-                                preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(a_hi, b_lo, dims,
-                                  preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(a_lo, b_hi, dims,
-                                  preferred_element_type=jnp.float32)
-        )  # (T1, T2)
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    scores = jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=None if use_bf16 else jax.lax.Precision.HIGHEST,
+    )  # (T1, T2)
 
     neg = jnp.float32(-1e30)
     big = jnp.int32(2**30)
