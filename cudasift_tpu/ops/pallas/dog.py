@@ -24,13 +24,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TH = 16        # output rows per program
+TH = 16        # output rows per program (8 for wide images, see wrapper)
 R = 4          # Gaussian radius
 NS = 8         # Gaussian scales per octave
 
 
 def _dog_kernel(k_ref, a_ref, b_ref, c_ref, thr_ref, dims_ref,
-                dog_ref, mask_ref):
+                dog_ref, mask_ref, *, th):
     i = pl.program_id(0)
     rows = jnp.concatenate([a_ref[:, :], b_ref[:, :], c_ref[:, :]], axis=0)
     wp = rows.shape[1]
@@ -40,14 +40,14 @@ def _dog_kernel(k_ref, a_ref, b_ref, c_ref, thr_ref, dims_ref,
     height = dims_ref[0]
     width = dims_ref[1]
 
-    # Vertical pass: 18 rows (16 + 1 extremum halo each side) per scale.
-    # Local input row l <-> image row 16*i + l - 16; dog row t needs image
-    # rows (t + 16*i) +- 4 -> l in [11 + j, 29 + j).
+    # Vertical pass: th + 2 rows (th + 1 extremum halo each side) per
+    # scale. Local input row l <-> image row th*i + l - th; dog row t needs
+    # image rows (t + th*i) +- 4 -> l in [th - 5 + j, th - 5 + j + th + 2).
     hors = []
     for s in range(NS):
-        acc = k_ref[s, 0] * rows[11:29, :]
+        acc = k_ref[s, 0] * rows[th - 5 : 2 * th - 3, :]
         for j in range(1, 2 * R + 1):
-            acc = acc + k_ref[s, j] * rows[11 + j : 29 + j, :]
+            acc = acc + k_ref[s, j] * rows[th - 5 + j : 2 * th - 3 + j, :]
         # Horizontal pass: img col m in [-1, w_out+1) uses padded cols
         # m+1 .. m+9 (pad_left = 5).
         hor = acc[:, 0 : w_out + 2] * k_ref[s, 0]
@@ -55,16 +55,16 @@ def _dog_kernel(k_ref, a_ref, b_ref, c_ref, thr_ref, dims_ref,
             hor = hor + k_ref[s, j] * acc[:, j : j + w_out + 2]
         hors.append(hor)
 
-    dogs = [hors[s + 1] - hors[s] for s in range(NS - 1)]  # (18, w_out+2)
+    dogs = [hors[s + 1] - hors[s] for s in range(NS - 1)]  # (th+2, w_out+2)
 
     for s in range(NS - 1):
-        dog_ref[s, :, :] = dogs[s][1:17, 1 : w_out + 1]
+        dog_ref[s, :, :] = dogs[s][1 : th + 1, 1 : w_out + 1]
 
     # Strict 3x3x3 extremum test on the 5 middle planes.
     row_g = (
-        jax.lax.broadcasted_iota(jnp.int32, (TH, w_out), 0) + i * TH
+        jax.lax.broadcasted_iota(jnp.int32, (th, w_out), 0) + i * th
     )
-    col_g = jax.lax.broadcasted_iota(jnp.int32, (TH, w_out), 1)
+    col_g = jax.lax.broadcasted_iota(jnp.int32, (th, w_out), 1)
     interior = (
         (row_g >= 1) & (row_g <= height - 2) & (col_g >= 1) & (col_g <= width - 2)
     )
@@ -86,23 +86,25 @@ def _dog_kernel(k_ref, a_ref, b_ref, c_ref, thr_ref, dims_ref,
         )
         cmx.append(cx)
         cmn.append(cn)
-        m3x.append(jnp.maximum(jnp.maximum(cx[0:TH], cx[1 : TH + 1]),
-                               cx[2 : TH + 2]))             # (16, w_out)
-        m3n.append(jnp.minimum(jnp.minimum(cn[0:TH], cn[1 : TH + 1]),
-                               cn[2 : TH + 2]))
+        m3x.append(jnp.maximum(jnp.maximum(cx[0:th], cx[1 : th + 1]),
+                               cx[2 : th + 2]))             # (th, w_out)
+        m3n.append(jnp.minimum(jnp.minimum(cn[0:th], cn[1 : th + 1]),
+                               cn[2 : th + 2]))
 
     for s in range(5):
         mid = dogs[s + 1]
-        c = mid[1:17, 1 : w_out + 1]
+        c = mid[1 : th + 1, 1 : w_out + 1]
         # Center plane, center pixel excluded: top/bottom column-triples
         # plus the middle row's left/right neighbors.
         c8x = jnp.maximum(
-            jnp.maximum(cmx[s + 1][0:TH], cmx[s + 1][2 : TH + 2]),
-            jnp.maximum(mid[1:17, 0:w_out], mid[1:17, 2 : w_out + 2]),
+            jnp.maximum(cmx[s + 1][0:th], cmx[s + 1][2 : th + 2]),
+            jnp.maximum(mid[1 : th + 1, 0:w_out],
+                        mid[1 : th + 1, 2 : w_out + 2]),
         )
         c8n = jnp.minimum(
-            jnp.minimum(cmn[s + 1][0:TH], cmn[s + 1][2 : TH + 2]),
-            jnp.minimum(mid[1:17, 0:w_out], mid[1:17, 2 : w_out + 2]),
+            jnp.minimum(cmn[s + 1][0:th], cmn[s + 1][2 : th + 2]),
+            jnp.minimum(mid[1 : th + 1, 0:w_out],
+                        mid[1 : th + 1, 2 : w_out + 2]),
         )
         nmax = jnp.maximum(jnp.maximum(m3x[s], m3x[s + 2]), c8x)
         nmin = jnp.minimum(jnp.minimum(m3n[s], m3n[s + 2]), c8n)
@@ -117,13 +119,15 @@ def _dog_kernel(k_ref, a_ref, b_ref, c_ref, thr_ref, dims_ref,
         # the same neighbor values XLA's edge-padded slices produce on
         # interior pixels; borders are masked off anyway.
         mid = dogs[s + 1]
-        dxx = 2.0 * c - mid[1:17, 0:w_out] - mid[1:17, 2 : w_out + 2]
-        dyy = 2.0 * c - mid[0:16, 1 : w_out + 1] - mid[2:18, 1 : w_out + 1]
+        dxx = (2.0 * c - mid[1 : th + 1, 0:w_out]
+               - mid[1 : th + 1, 2 : w_out + 2])
+        dyy = (2.0 * c - mid[0:th, 1 : w_out + 1]
+               - mid[2 : th + 2, 1 : w_out + 1])
         dxy = 0.25 * (
-            mid[2:18, 2 : w_out + 2]
-            + mid[0:16, 0:w_out]
-            - mid[0:16, 2 : w_out + 2]
-            - mid[2:18, 0:w_out]
+            mid[2 : th + 2, 2 : w_out + 2]
+            + mid[0:th, 0:w_out]
+            - mid[0:th, 2 : w_out + 2]
+            - mid[2 : th + 2, 0:w_out]
         )
         tra = dxx + dyy
         det = dxx * dyy - dxy * dxy
@@ -146,12 +150,17 @@ def dog_and_mask_pallas(
     prefilter (same semantics as ops.detect.extrema_mask with edge_limit).
     """
     h, w = img.shape
-    nstrips = -(-h // TH)
-    hp = TH * (nstrips + 2)
+    # Narrow strips for wide images: the kernel's live working set (~38
+    # strip-width arrays across the 8 blurs, 7 DoGs and the shared pools)
+    # scales with th*w and exceeds Mosaic's scoped-VMEM budget at
+    # th=16, w>2048 (seen at 1440p).
+    th = TH if w <= 2048 else 8
+    nstrips = -(-h // th)
+    hp = th * (nstrips + 2)
     wp = ((w + 10 + 127) // 128) * 128
     img_p = jnp.pad(
         img,
-        ((TH, hp - h - TH), (5, wp - w - 5)),
+        ((th, hp - h - th), (5, wp - w - 5)),
         mode="edge",
     )
     ktab = jnp.zeros((8, 16), jnp.float32).at[:, :9].set(jnp.asarray(kernels))
@@ -163,20 +172,20 @@ def dog_and_mask_pallas(
         grid=(nstrips,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),              # kernels
-            pl.BlockSpec((TH, wp), lambda i, *_: (i, 0)),       # rows block 0
-            pl.BlockSpec((TH, wp), lambda i, *_: (i + 1, 0)),   # rows block 1
-            pl.BlockSpec((TH, wp), lambda i, *_: (i + 2, 0)),   # rows block 2
+            pl.BlockSpec((th, wp), lambda i, *_: (i, 0)),       # rows block 0
+            pl.BlockSpec((th, wp), lambda i, *_: (i + 1, 0)),   # rows block 1
+            pl.BlockSpec((th, wp), lambda i, *_: (i + 2, 0)),   # rows block 2
         ],
         out_specs=(
-            pl.BlockSpec((7, TH, w), lambda i, *_: (0, i, 0)),
-            pl.BlockSpec((5, TH, w), lambda i, *_: (0, i, 0)),
+            pl.BlockSpec((7, th, w), lambda i, *_: (0, i, 0)),
+            pl.BlockSpec((5, th, w), lambda i, *_: (0, i, 0)),
         ),
     )
     dog, mask = pl.pallas_call(
-        _kernel_entry,
+        functools.partial(_kernel_entry, th=th),
         out_shape=(
-            jax.ShapeDtypeStruct((7, TH * nstrips, w), jnp.float32),
-            jax.ShapeDtypeStruct((5, TH * nstrips, w), jnp.float32),
+            jax.ShapeDtypeStruct((7, th * nstrips, w), jnp.float32),
+            jax.ShapeDtypeStruct((5, th * nstrips, w), jnp.float32),
         ),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -185,6 +194,6 @@ def dog_and_mask_pallas(
 
 
 def _kernel_entry(thr_ref, dims_ref, k_ref, a_ref, b_ref, c_ref,
-                  dog_ref, mask_ref):
+                  dog_ref, mask_ref, *, th):
     _dog_kernel(k_ref, a_ref, b_ref, c_ref, thr_ref, dims_ref,
-                dog_ref, mask_ref)
+                dog_ref, mask_ref, th=th)

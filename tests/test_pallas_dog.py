@@ -30,3 +30,20 @@ def test_dog_and_mask_matches_xla(rng):
     # Identical up to float-order ties at the +-thresh boundary.
     assert len(got.symmetric_difference(ref)) <= max(1, len(ref) // 100), (
         len(got), len(ref))
+
+
+def test_dog_and_mask_wide_image(rng):
+    """Wide images use th=8 strips (the th=16 working set exceeds Mosaic's
+    scoped-VMEM budget at w>2048 — regression seen at 1440p). The narrow-
+    strip kernel must stay bit-identical to the XLA reference."""
+    from cudasift_tpu.ops import convolve
+    from cudasift_tpu.config import laplace_kernels
+
+    img = rng.uniform(0, 255, (48, 2176)).astype(np.float32)
+    kern = laplace_kernels(1)[0]
+    dog, mask = dog_and_mask_pallas(
+        jnp.asarray(img), jnp.asarray(kern), 3.0, 10.0, interpret=True)
+    blur = convolve.blur_multi(jnp.asarray(img), kern)
+    ref = blur[1:] - blur[:-1]
+    np.testing.assert_allclose(
+        np.asarray(dog), np.asarray(ref), atol=2e-3, rtol=1e-4)
