@@ -639,42 +639,36 @@ def _call_kernel(img, xpos, ypos, scale, margins, cnts, interpret, fast):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "fast"))
-def orient_and_describe_pallas(
-    img: jnp.ndarray,
-    xpos: jnp.ndarray,
-    ypos: jnp.ndarray,
-    scale: jnp.ndarray,
-    interpret: bool = False,
-    count: jnp.ndarray | None = None,
-    fast: bool = False,
-):
-    """Fused orientation + descriptors for ``count`` live keypoints.
+def fused_tiles(h: int, w: int, max_tiles: int = 4) -> int | None:
+    """Number of y-tiles needed to run the fused kernel on an (h, w) image
+    with each tile's VMEM-resident slice inside budget, or None if even
+    ``max_tiles`` strips don't fit (callers then use the split DMA path)."""
+    t = 1
+    while t <= max_tiles:
+        if fits_vmem(-(-h // t) + _TILE_TOP + _TILE_BOT, w):
+            return t
+        t *= 2
+    return None
 
-    Returns (desc1 (N, 128), desc2 (N, 128), ori1 (N,), ori2 (N,),
-    has2 (N,) bool). ``desc2``/``ori2`` are the second-peak duplicates,
-    valid where ``has2``. The image (padded) must satisfy ``fits_vmem``.
 
-    Keypoints are stable-compacted into a [small | large] bucket layout by
-    octave-local scale (<= SMALL_MAX_SCALE -> 4-packed (32,32) patches,
-    else 2-packed (48,64)); ONE kernel dispatches the matching geometry per
-    block (count-gated: capacity padding is free), and the results scatter
-    back to slot order.
+# Interior-tile overlap: keypoints read up to 29 rows above floor(y) and 34
+# below (patch origin max(floor(y) - margin, 0) snapped down to 8, then
+# P + 8 rows), so tiles extend 32 up / 40 down into their neighbors.
+_TILE_TOP = 32
+_TILE_BOT = 40
+
+
+def _run_table(img_padded, xpos, ypos, scale, live, interpret, fast):
+    """Bucket-compact `live` keypoints by scale, run the two-geometry
+    kernel, and scatter results back to slot order (zeros elsewhere).
+
+    ``img_padded`` must already carry the (_PAD_R, _PAD_C) edge padding;
+    ``ypos`` is local to it. Returns 5 slot-order arrays (desc1, desc2,
+    ori1, ori2, has2-as-f32).
     """
-    n_in = xpos.shape[0]
-    if count is None:
-        count = jnp.int32(n_in)
-    count = jnp.asarray(count, jnp.int32)
-    pad = (-n_in) % B
-    if pad:
-        xpos, ypos, scale = (jnp.pad(a, (0, pad)) for a in (xpos, ypos, scale))
-        scale = scale.at[n_in:].set(1.0)
     n = xpos.shape[0]
     nc = n + B   # bucket table capacity: +B absorbs the alignment gap
-    img = jnp.pad(img, ((0, _PAD_R), (0, _PAD_C)), mode="edge")
-
     slots = jnp.arange(n)
-    live = slots < count
     is_small = live & (scale <= SMALL_MAX_SCALE)
     is_large = live & jnp.logical_not(scale <= SMALL_MAX_SCALE)
 
@@ -698,8 +692,8 @@ def orient_and_describe_pallas(
     margins = jnp.where(jpos < cs_pad, GEOM_SMALL[2], GEOM_LARGE[2])
     cnts = jnp.stack([cnt_s, cs_pad, cnt_l])
 
-    d1, d2, meta = _call_kernel(img, bx, by, bs, margins, cnts, interpret,
-                                fast)
+    d1, d2, meta = _call_kernel(img_padded, bx, by, bs, margins, cnts,
+                                interpret, fast)
 
     # Kernel rows are a*16 + rc; the reference descriptor index is
     # d = 8*rc + a (cudaSiftD.cu:347-386 bin layout).
@@ -730,11 +724,73 @@ def orient_and_describe_pallas(
     )
     # Scatter from table order back to slot order.
     dest = jnp.where(live_pos, idx, n)
-    out = tuple(
+    return tuple(
         jnp.zeros((n,) + r.shape[1:], r.dtype).at[dest].set(r, mode="drop")
         for r in results
     )
-    desc1, desc2, ori1, ori2, has2 = out
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "fast"))
+def orient_and_describe_pallas(
+    img: jnp.ndarray,
+    xpos: jnp.ndarray,
+    ypos: jnp.ndarray,
+    scale: jnp.ndarray,
+    interpret: bool = False,
+    count: jnp.ndarray | None = None,
+    fast: bool = False,
+):
+    """Fused orientation + descriptors for ``count`` live keypoints.
+
+    Returns (desc1 (N, 128), desc2 (N, 128), ori1 (N,), ori2 (N,),
+    has2 (N,) bool). ``desc2``/``ori2`` are the second-peak duplicates,
+    valid where ``has2``.
+
+    Keypoints are stable-compacted into a [small | large] bucket layout by
+    octave-local scale (<= SMALL_MAX_SCALE -> 4-packed (32,32) patches,
+    else 2-packed (48,64)); ONE kernel dispatches the matching geometry per
+    block (count-gated: capacity padding is free), and the results scatter
+    back to slot order.
+
+    Images too large to pin in VMEM whole run in `fused_tiles(h, w)`
+    horizontal tiles: each tile's slice (plus the 32/40-row patch overlap)
+    is pinned, and keypoints route to their tile by row — identical
+    arithmetic, since every patch a keypoint reads lies inside its tile's
+    extended slice. The caller must check ``fused_tiles`` is not None.
+    """
+    n_in = xpos.shape[0]
+    if count is None:
+        count = jnp.int32(n_in)
+    count = jnp.asarray(count, jnp.int32)
+    pad = (-n_in) % B
+    if pad:
+        xpos, ypos, scale = (jnp.pad(a, (0, pad)) for a in (xpos, ypos, scale))
+        scale = scale.at[n_in:].set(1.0)
+    n = xpos.shape[0]
+    h, w = img.shape
+    n_tiles = fused_tiles(h, w)
+    if n_tiles is None:
+        raise ValueError(f"image ({h}, {w}) too large for the fused kernel")
+
+    live = jnp.arange(n) < count
+    step = -(-h // n_tiles)
+    outs = None
+    for t in range(n_tiles):
+        y0 = t * step
+        y1 = min(h, (t + 1) * step)
+        y0e = max(y0 - _TILE_TOP, 0)
+        img_t = jnp.pad(
+            img[y0e : min(y1 + _TILE_BOT, h)],
+            ((0, _PAD_R), (0, _PAD_C)), mode="edge",
+        )
+        live_t = live & (ypos >= y0) & (ypos < y1) if n_tiles > 1 else live
+        res = _run_table(
+            img_t, xpos, ypos - y0e, scale, live_t, interpret, fast
+        )
+        outs = res if outs is None else tuple(
+            a + b for a, b in zip(outs, res))
+
+    desc1, desc2, ori1, ori2, has2 = outs
     return (
         desc1[:n_in],
         desc2[:n_in],

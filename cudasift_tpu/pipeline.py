@@ -133,13 +133,13 @@ def _extract_octave(
     def dup(a, b=None):
         return jnp.concatenate([a, a if b is None else b])
 
-    from .ops.pallas.orient_desc import fits_vmem
+    from .ops.pallas.orient_desc import fused_tiles
 
     if (
         params.use_pallas
         and params.use_fused
         and _on_tpu()
-        and fits_vmem(*base.shape)
+        and fused_tiles(*base.shape) is not None
     ):
         from .ops.pallas.orient_desc import orient_and_describe_pallas
 

@@ -249,3 +249,34 @@ def test_fast_gradients_close_to_exact(rng):
     cos = (de * df).sum(axis=1)
     assert cos.min() > 0.97, cos
     assert np.abs(de - df).max() < 0.08
+
+
+def test_fused_tiled_matches_untiled(rng, monkeypatch):
+    """Images too large for one VMEM-resident slice run in y-tiles with
+    32/40-row overlaps; every patch a keypoint reads lies inside its tile's
+    extended slice, so the results must be EXACTLY the untiled ones."""
+    import cudasift_tpu.ops.pallas.orient_desc as od
+
+    img = make_image(rng)
+    h, w = img.shape
+    n = 24
+    x = jnp.asarray(rng.uniform(20, w - 20, n).astype(np.float32))
+    y = jnp.asarray(rng.uniform(5, h - 5, n).astype(np.float32))
+    s = jnp.asarray(rng.uniform(0.95, 1.85, n).astype(np.float32))
+    base = od.orient_and_describe_pallas(jnp.asarray(img), x, y, s,
+                                         interpret=True)
+    assert od.fused_tiles(h, w) == 1
+    # Shrink the budget so the same image needs 4 tiles.
+    tile_h = -(-h // 4) + od._TILE_TOP + od._TILE_BOT
+    monkeypatch.setattr(
+        od, "VMEM_IMAGE_LIMIT",
+        (tile_h + od._PAD_R) * (w + od._PAD_C) * 4 + 1)
+    assert od.fused_tiles(h, w) == 4
+    od.orient_and_describe_pallas.clear_cache()
+    try:
+        tiled = od.orient_and_describe_pallas(jnp.asarray(img), x, y, s,
+                                              interpret=True)
+    finally:
+        od.orient_and_describe_pallas.clear_cache()
+    for a, b in zip(base, tiled):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
