@@ -52,12 +52,12 @@ def _run(args) -> int:
     import jax
 
     from . import (
-    SiftParams,
-    extract_sift,
-    match_sift_data,
-    find_homography,
-    improve_homography,
-)
+        SiftParams,
+        extract_sift,
+        match_sift_data,
+        find_homography,
+        improve_homography,
+    )
     from .utils.io import imread_gray, write_pgm
     from .utils.timers import time_fn
     from .utils.viz import draw_match_data

@@ -86,12 +86,17 @@ def sep_conv_clamp(img: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:
 
 def low_pass(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
     """9-tap Gaussian prefilter at sigma = max(initBlur, 0.001)
-    (cudaSiftH.cu:112,406-421)."""
+    (cudaSiftH.cu:112,406-421).
+
+    Runs as unrolled weighted slice-sums (two VPU passes, ~0.14 GFLOP at
+    1080p), not the banded-matmul form: at stride 1 there is no decimation
+    to fold into a matmul, and the dense (H, H)/(W, W) band matrices cost
+    ~12 GFLOP of HIGHEST-precision MXU work for the same result.
+    """
     from ..config import gaussian_kernel_1d
 
     taps = gaussian_kernel_1d(4, float(sigma) * float(sigma))
-    h, w = img.shape
-    return _conv_matmul(img, taps, h, w, 1)
+    return sep_conv_clamp(img, taps)
 
 
 def scale_down(img: jnp.ndarray, variance: float = 0.5) -> jnp.ndarray:

@@ -175,7 +175,6 @@ def refine_candidates(
     dog: jnp.ndarray,
     flat_idx: jnp.ndarray,
     count: jnp.ndarray,
-    thresh: float,
     edge_limit: float,
     lowest_scale: float,
     factor: float = 1.0 / NUM_SCALES,
@@ -183,7 +182,10 @@ def refine_candidates(
     """Vectorized subpixel refinement of compacted candidates.
 
     Replicates cudaSiftD.cu:1379-1428 exactly (including its negated
-    second-derivative convention). ``lowest_scale`` is already divided by the
+    second-derivative convention). The detection threshold is applied only at
+    the extrema-mask stage, as in the reference — refinement never re-tests
+    it, which keeps this signature identical to the Pallas twin
+    ``refine_candidates_pallas``. ``lowest_scale`` is already divided by the
     octave subsampling by the caller (cudaSiftH.cu:213).
     """
     _, h, w = dog.shape
@@ -304,4 +306,4 @@ def detect_octave(
             xpos=xp, ypos=yp, scale=sc, sharpness=sh, edgeness=ed,
             valid=valid, count=count,
         )
-    return refine_candidates(dog, flat_idx, count, thresh, edge_limit, lowest_scale)
+    return refine_candidates(dog, flat_idx, count, edge_limit, lowest_scale)

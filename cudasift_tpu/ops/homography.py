@@ -109,10 +109,11 @@ def _inlier_counts(
 def find_homography(
     data: SiftData,
     key: jax.Array,
-    num_loops: int = 1024,
-    min_score: float = 0.85,
-    max_ambiguity: float = 0.95,
-    thresh: float = 5.0,
+    num_loops: int | None = None,
+    min_score: float | None = None,
+    max_ambiguity: float | None = None,
+    thresh: float | None = None,
+    params=None,
 ):
     """RANSAC over matched pairs. Returns (homography (3,3), num_matches ()).
 
@@ -120,7 +121,17 @@ def find_homography(
     inliers are counted over *all* matched points, like the reference's
     TestHomographies does. With fewer than 8 valid pairs the identity is
     returned with zero matches (matching.cu:1016,1040).
+
+    ``params`` (a ``config.HomographyParams``) supplies the defaults for the
+    scalar knobs; explicit keyword arguments win.
     """
+    from ..config import HomographyParams
+
+    p = params if params is not None else HomographyParams()
+    num_loops = p.num_loops if num_loops is None else num_loops
+    min_score = p.min_score if min_score is None else min_score
+    max_ambiguity = p.max_ambiguity if max_ambiguity is None else max_ambiguity
+    thresh = p.thresh if thresh is None else thresh
     cap = data.max_pts
     valid_pts = data.valid_mask()
     good = valid_pts & (data.score > min_score) & (data.ambiguity < max_ambiguity)

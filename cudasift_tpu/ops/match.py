@@ -97,15 +97,22 @@ def match_descriptors(
 
 
 def match_sift_data(
-    data1: SiftData, data2: SiftData, tile: int = 2048, use_bf16: bool = False,
-    use_pallas: bool = True,
+    data1: SiftData, data2: SiftData, tile: int | None = None,
+    use_bf16: bool | None = None, use_pallas: bool = True,
+    params=None,
 ) -> SiftData:
     """MatchSiftData (matching.cu:1090-1206): fill score/ambiguity/match and
     the matched point's coordinates into ``data1``.
 
     On TPU the fused Pallas matcher runs by default; the XLA scan matcher is
-    the CPU / fallback path.
+    the CPU / fallback path. ``params`` (a ``config.MatchParams``) supplies
+    the defaults for ``tile``/``use_bf16``; explicit keyword arguments win.
     """
+    from ..config import MatchParams
+
+    p = params if params is not None else MatchParams()
+    tile = p.tile_n2 if tile is None else tile
+    use_bf16 = p.use_bf16 if use_bf16 is None else use_bf16
     if use_pallas and jax.default_backend() not in ("cpu",):
         from .pallas.match import match_descriptors_pallas
 

@@ -37,18 +37,9 @@ S = 1024       # samples: 256 grid points x 4 taps
 MARGIN = 22    # patch origin offset; covers octave scales up to ~2.4
 
 
-def _fast_atan2(y, x):
-    """FastAtan2 polynomial (cudaSiftD.cu:295-306) — VPU-only."""
-    absx = jnp.abs(x)
-    absy = jnp.abs(y)
-    mx = jnp.maximum(absx, absy)
-    mn = jnp.minimum(absx, absy)
-    a = mn / jnp.where(mx == 0.0, 1.0, mx)
-    s = a * a
-    r = ((-0.0464964749 * s + 0.15931422) * s - 0.327622764) * s * a + a
-    r = jnp.where(absy > absx, 1.57079637 - r, r)
-    r = jnp.where(x < 0, 3.14159274 - r, r)
-    return jnp.where(y < 0, -r, r)
+# FastAtan2 polynomial (cudaSiftD.cu:295-306) — pure jnp, VPU-only, so the
+# XLA implementation works unchanged inside Pallas kernels.
+from ..texture import fast_atan2 as _fast_atan2
 
 
 def _desc_kernel(oy_ref, ox_ref, cnt_ref, img_ref, kpf_ref, out_ref, patch, sems):

@@ -79,7 +79,7 @@ def _dog_kernel(k_ref, a_ref, b_ref, c_ref, thr_ref, dims_ref,
         cx = jnp.maximum(
             jnp.maximum(p[:, 0:w_out], p[:, 1 : w_out + 1]),
             p[:, 2 : w_out + 2],
-        )                                                   # (18, w_out)
+        )                                                   # (th+2, w_out)
         cn = jnp.minimum(
             jnp.minimum(p[:, 0:w_out], p[:, 1 : w_out + 1]),
             p[:, 2 : w_out + 2],

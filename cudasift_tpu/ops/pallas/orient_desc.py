@@ -772,6 +772,16 @@ def orient_and_describe_pallas(
     if n_tiles is None:
         raise ValueError(f"image ({h}, {w}) too large for the fused kernel")
 
+    # Refined keypoints can land (slightly) outside the image: the refine
+    # Newton fallback pdx = dx/dxx is unbounded, matching the reference
+    # (cudaSiftD.cu:1412-1417). Clamp the *sampling* coordinates into the
+    # image box so (a) the untiled path's patch-origin dynamic slice stays
+    # inside the padded VMEM image and (b) every keypoint routes to exactly
+    # one y-tile — tiled and untiled paths then agree. Reported positions
+    # (SiftData.xpos/ypos) are unaffected; only patch addressing clamps.
+    xpos = jnp.clip(xpos, 0.0, float(w - 1))
+    ypos = jnp.clip(ypos, 0.0, float(h - 1))
+
     live = jnp.arange(n) < count
     step = -(-h // n_tiles)
     outs = None

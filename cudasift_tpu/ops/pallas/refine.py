@@ -80,11 +80,15 @@ def _refine_body(
         copy(k).wait()
         ry = ry_ref[i]
         rl = rl_ref[i]
-        t = pltpu.roll(tiles[k], (TR - ry) % TR, axis=0)
-        t = pltpu.roll(t, (TC - rl) % TC, axis=1)
-        cy0[k : k + 1] = t[0:1, :32]
-        cy1[k : k + 1] = t[1:2, :32]
-        cy2[k : k + 1] = t[2:3, :32]
+        # Lane-align first, then statically narrow to 32 lanes BEFORE the
+        # sublane roll: the rolls commute (independent axes), and rolling
+        # rows on (16, 32) instead of (16, 256) cuts the dynamic-roll data
+        # 8x on that axis (measured ~1.2x whole-kernel win at 1080p o0).
+        t = pltpu.roll(tiles[k], (TC - rl) % TC, axis=1)
+        t32 = pltpu.roll(t[:, :32], (TR - ry) % TR, axis=0)
+        cy0[k : k + 1] = t32[0:1]
+        cy1[k : k + 1] = t32[1:2]
+        cy2[k : k + 1] = t32[2:3]
 
     rows = (cy0[...], cy1[...], cy2[...])
 

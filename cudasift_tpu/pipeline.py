@@ -62,14 +62,28 @@ def _compact(fields: dict, valid: jnp.ndarray, capacity: int):
 
     Deterministic replacement for the reference's atomicInc appends
     (cudaSiftD.cu:1420). Returns (fields, count).
+
+    Scalar fields scatter directly. Wide fields (the (N, 128) descriptors —
+    the bulk of the bytes) instead ROW-GATHER through an index map built by
+    one extra scalar scatter: TPU scatters serialize per element, while a
+    gather of contiguous 512-byte rows is a fat, well-formed DMA pattern.
     """
+    n = valid.shape[0]
     pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
     count = jnp.minimum(pos[-1] + 1, capacity).astype(jnp.int32)
     dest = jnp.where(valid, pos, capacity)
+    src = jnp.zeros((capacity,), jnp.int32).at[dest].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop"
+    )
+    live = jnp.arange(capacity) < count
     out = {}
     for k, v in fields.items():
-        buf = jnp.zeros((capacity,) + v.shape[1:], v.dtype)
-        out[k] = buf.at[dest].set(v, mode="drop")
+        if v.ndim == 1:
+            buf = jnp.zeros((capacity,) + v.shape[1:], v.dtype)
+            out[k] = buf.at[dest].set(v, mode="drop")
+        else:
+            mask = live.reshape((capacity,) + (1,) * (v.ndim - 1))
+            out[k] = jnp.where(mask, v[src], 0)
     return out, count
 
 

@@ -166,7 +166,7 @@ def test_refine_kernel_matches_xla(rng):
     dog = blur[1:] - blur[:-1]
     mask = extrema_mask(dog, 2.0, 10.0)
     idx, cnt = compact_mask(mask, 256)
-    ref = refine_candidates(dog, idx, cnt, 2.0, 10.0, 0.0)
+    ref = refine_candidates(dog, idx, cnt, 10.0, 0.0)
     xp, yp, sc, sh, ed, valid = refine_candidates_pallas(
         dog, idx, cnt, 10.0, 0.0, interpret=True)
     assert int(cnt) > 4
