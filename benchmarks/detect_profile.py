@@ -61,7 +61,7 @@ def main():
     for o in range(params.num_octaves):
         base = bases[o]
         oh, ow = base.shape
-        cap = params.candidate_capacity(oh, ow)
+        cap = params.candidate_capacity(oh, ow, o)
         kern = kernels[o]
         lo_sc = params.lowest_scale_effective / float(2**o)
 

@@ -67,7 +67,9 @@ def main():
         outs = []
         for _ in range(params.num_octaves - 1):
             b = convolve.scale_down(b)
-            outs.append(b[0, 0])
+            # Demand every element (a [0,0] probe lets XLA slice-fuse the
+            # whole chain down to a sliver and report ~0 ms).
+            outs.append(b.sum())
         return jnp.stack(outs)
 
     t = device_time(sd_chain, chain=16)
@@ -86,7 +88,7 @@ def main():
     for o in range(params.num_octaves):
         base = bases[o]
         oh, ow = base.shape
-        cap = params.candidate_capacity(oh, ow)
+        cap = params.candidate_capacity(oh, ow, o)
         kern = kernels[o]
 
         def dogmask(p, base=base, kern=kern):
@@ -125,7 +127,7 @@ def main():
 
     # Final merge compaction at full size.
     slots = sum(
-        2 * params.candidate_capacity(*bases[o].shape)
+        2 * params.candidate_capacity(*bases[o].shape, o)
         for o in range(params.num_octaves)
     )
     valid = jnp.arange(slots) % 3 == 0

@@ -146,9 +146,29 @@ class SiftParams:
         """lowestScale is doubled under scale_up (cudaSiftH.cu:127)."""
         return self.lowest_scale * (2.0 if self.scale_up else 1.0)
 
-    def candidate_capacity(self, height: int, width: int) -> int:
-        """Fixed extrema-candidate slots for an octave of the given shape."""
-        cap = int(height * width * NUM_SCALES * self.candidate_fraction)
+    def candidate_capacity(
+        self, height: int, width: int, octave: int = 0
+    ) -> int:
+        """Fixed extrema-candidate slots for an octave of the given shape.
+
+        Extrema density per pixel RISES ~3x per octave (the bundled pair at
+        thresh 3.0: 1.3e-3 at octave 0 up to 16e-3 at octave 4), so the
+        per-voxel fraction grows by an explicit (1, 4, 8, 16, 32) schedule,
+        bounded by a 1/48-per-voxel ceiling. The schedule gives >=1.5x
+        headroom over the densest per-octave extrema counts observed on the
+        fixture at thresh 2.0. With the flat fraction the fixture saturated
+        octaves 1-3 (righ.pgm dropped ~1465 candidates at thresh 3.0 that
+        the reference keeps — it only clamps at the global maxPts,
+        cudaSiftD.cu:1420) which cost ~11% of end-to-end features and ~9
+        match-rate points. The compaction rank-search is the one stage
+        whose cost scales with CAPACITY rather than live count (the
+        refine/orient/descriptor kernels are count-gated), which is why the
+        schedule is not simply 4**octave.
+        """
+        voxels = height * width * NUM_SCALES
+        mult = (1, 4, 8, 16, 32)[min(octave, 4)]
+        cap = int(voxels * self.candidate_fraction * mult)
+        cap = min(cap, voxels // 48)
         cap = max(self.min_candidates, cap)
         cap = min(cap, self.max_pts)
         # Round up to a lane multiple for friendlier TPU layouts.

@@ -30,7 +30,7 @@ NS = 8         # Gaussian scales per octave
 
 
 def _dog_kernel(k_ref, a_ref, b_ref, c_ref, thr_ref, dims_ref,
-                dog_ref, mask_ref, *, th):
+                dog_ref, mask_ref, *, th, band_ref=None):
     i = pl.program_id(0)
     rows = jnp.concatenate([a_ref[:, :], b_ref[:, :], c_ref[:, :]], axis=0)
     wp = rows.shape[1]
@@ -43,11 +43,40 @@ def _dog_kernel(k_ref, a_ref, b_ref, c_ref, thr_ref, dims_ref,
     # Vertical pass: th + 2 rows (th + 1 extremum halo each side) per
     # scale. Local input row l <-> image row th*i + l - th; dog row t needs
     # image rows (t + th*i) +- 4 -> l in [th - 5 + j, th - 5 + j + th + 2).
+    if band_ref is not None:
+        # MXU form: all 8 vertical 9-tap convs as ONE banded matmul
+        # (8*(th+2), 3*th) @ (3*th, wp) — the column-buffer pipeline of
+        # LaplaceMultiMem (cudaSiftD.cu:1762-1791) recast as a systolic
+        # contraction. Offloads half the stencil FLOPs from the VPU.
+        # Mosaic exposes only DEFAULT (1-pass bf16) and HIGHEST (6-pass)
+        # matmuls; a manual hi/lo bf16 split of both operands with the
+        # lo*lo term dropped gives 3 DEFAULT passes at ~2^-18 relative
+        # error — the X3 recipe — measured parity: 0 mask flips at 1080p.
+        band = band_ref[...]
+        bh = band.astype(jnp.bfloat16)
+        bl = (band - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+        rh = rows.astype(jnp.bfloat16)
+        rl = (rows - rh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def mm(a, b):
+            return jax.lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        acc_all = mm(bh, rh) + mm(bh, rl) + mm(bl, rh)     # (8*(th+2), wp)
+        accs = [acc_all[s * (th + 2) : (s + 1) * (th + 2)] for s in range(NS)]
+    else:
+        accs = []
+        for s in range(NS):
+            acc = k_ref[s, 0] * rows[th - 5 : 2 * th - 3, :]
+            for j in range(1, 2 * R + 1):
+                acc = acc + k_ref[s, j] * rows[th - 5 + j : 2 * th - 3 + j, :]
+            accs.append(acc)
+
     hors = []
     for s in range(NS):
-        acc = k_ref[s, 0] * rows[th - 5 : 2 * th - 3, :]
-        for j in range(1, 2 * R + 1):
-            acc = acc + k_ref[s, j] * rows[th - 5 + j : 2 * th - 3 + j, :]
+        acc = accs[s]
         # Horizontal pass: img col m in [-1, w_out+1) uses padded cols
         # m+1 .. m+9 (pad_left = 5).
         hor = acc[:, 0 : w_out + 2] * k_ref[s, 0]
@@ -135,13 +164,27 @@ def _dog_kernel(k_ref, a_ref, b_ref, c_ref, thr_ref, dims_ref,
         mask_ref[s, :, :] = (is_ext & interior).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _vert_band(kernels: jnp.ndarray, th: int) -> jnp.ndarray:
+    """(8*(th+2), 3*th) banded matrix for the vertical pass: row s*(th+2)+t
+    dotted with the 3*th input rows equals the 9-tap vertical conv of scale s
+    at local output row t (input rows th-5+t .. th+3+t)."""
+    nrows = NS * (th + 2)
+    s_idx = np.arange(nrows) // (th + 2)
+    t_idx = np.arange(nrows) % (th + 2)
+    j = np.arange(3 * th)[None, :] - t_idx[:, None] - (th - 5)
+    tap_ok = (j >= 0) & (j <= 2 * R)
+    taps = jnp.asarray(kernels)[s_idx[:, None], np.clip(j, 0, 2 * R)]
+    return jnp.where(tap_ok, taps, 0.0).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "mxu_vert"))
 def dog_and_mask_pallas(
     img: jnp.ndarray,
     kernels: jnp.ndarray,
     thresh: float,
     edge_limit: float = 10.0,
     interpret: bool = False,
+    mxu_vert: bool = False,
 ):
     """(dog (7, H, W) f32, mask (5, H, W) bool) for one octave.
 
@@ -167,11 +210,16 @@ def dog_and_mask_pallas(
     thr = jnp.asarray([thresh, edge_limit], jnp.float32)
     dims = jnp.asarray([h, w], jnp.int32)
 
+    band_specs = (
+        [pl.BlockSpec(memory_space=pltpu.VMEM)] if mxu_vert else []
+    )
+    band_args = [_vert_band(kernels, th)] if mxu_vert else []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # thr, dims
         grid=(nstrips,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),              # kernels
+            *band_specs,                                        # vert band
             pl.BlockSpec((th, wp), lambda i, *_: (i, 0)),       # rows block 0
             pl.BlockSpec((th, wp), lambda i, *_: (i + 1, 0)),   # rows block 1
             pl.BlockSpec((th, wp), lambda i, *_: (i + 2, 0)),   # rows block 2
@@ -182,18 +230,21 @@ def dog_and_mask_pallas(
         ),
     )
     dog, mask = pl.pallas_call(
-        functools.partial(_kernel_entry, th=th),
+        functools.partial(_kernel_entry, th=th, mxu_vert=mxu_vert),
         out_shape=(
             jax.ShapeDtypeStruct((7, th * nstrips, w), jnp.float32),
             jax.ShapeDtypeStruct((5, th * nstrips, w), jnp.float32),
         ),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(thr, dims, ktab, img_p, img_p, img_p)
+    )(thr, dims, ktab, *band_args, img_p, img_p, img_p)
     return dog[:, :h, :], mask[:, :h, :] != 0.0
 
 
-def _kernel_entry(thr_ref, dims_ref, k_ref, a_ref, b_ref, c_ref,
-                  dog_ref, mask_ref, *, th):
+def _kernel_entry(thr_ref, dims_ref, k_ref, *refs, th, mxu_vert):
+    if mxu_vert:
+        band_ref, a_ref, b_ref, c_ref, dog_ref, mask_ref = refs
+    else:
+        band_ref, (a_ref, b_ref, c_ref, dog_ref, mask_ref) = None, refs
     _dog_kernel(k_ref, a_ref, b_ref, c_ref, thr_ref, dims_ref,
-                dog_ref, mask_ref, th=th)
+                dog_ref, mask_ref, th=th, band_ref=band_ref)

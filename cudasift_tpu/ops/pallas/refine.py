@@ -12,9 +12,11 @@ This kernel instead:
 - DMAs one (16, 256) f32 tile per candidate from a channels-last DoG pack
   ``(H, W*8)`` — the tile covers rows y-1..y+1 and all scale channels of
   x-1..x+1; DMAs for a whole block are issued up front and overlap;
-- folds BOTH the sub-tile alignment and the scale-channel selection into a
-  single dynamic lane roll (lane (1+dx)*8 + 1+ds then holds
-  dog[s+ds, y+dy, x+dx] exactly);
+- acquires each candidate's 3x3x3 cube from its tile either by batched
+  iota-mask selection over the whole (B, 16, 256) block (``matsel``, the
+  default) or by two dynamic rolls per candidate (lane roll folding sub-tile
+  alignment + scale-channel selection, then a narrowed sublane roll); both
+  produce bit-identical values;
 - runs the reference's refinement arithmetic — Hessian adjugate solve,
   +-0.5 Newton fallback, edge test, scale formula — batched over the whole
   block as (B, 1) column ops (the XLA twin's expressions verbatim, so the
@@ -43,6 +45,7 @@ def _refine_kernel(
     pack_ref, meta_ref,                            # array inputs
     out_ref,                                       # (1, B, 8) output
     tiles, cy0, cy1, cy2, sems,                    # scratch
+    *, matsel,
 ):
     blk = pl.program_id(0)
     total = cnt_ref[0]
@@ -55,13 +58,13 @@ def _refine_kernel(
     def _():
         _refine_body(
             blk, oy_ref, ox_ref, ry_ref, rl_ref, cnt_ref, pack_ref,
-            meta_ref, out_ref, tiles, cy0, cy1, cy2, sems,
+            meta_ref, out_ref, tiles, cy0, cy1, cy2, sems, matsel=matsel,
         )
 
 
 def _refine_body(
     blk, oy_ref, ox_ref, ry_ref, rl_ref, cnt_ref, pack_ref,
-    meta_ref, out_ref, tiles, cy0, cy1, cy2, sems,
+    meta_ref, out_ref, tiles, cy0, cy1, cy2, sems, *, matsel,
 ):
     def copy(k):
         i = blk * B + k
@@ -75,26 +78,54 @@ def _refine_body(
 
     for k in range(B):
         copy(k).start()
-    for k in range(B):
-        i = blk * B + k
-        copy(k).wait()
-        ry = ry_ref[i]
-        rl = rl_ref[i]
-        # Lane-align first, then statically narrow to 32 lanes BEFORE the
-        # sublane roll: the rolls commute (independent axes), and rolling
-        # rows on (16, 32) instead of (16, 256) cuts the dynamic-roll data
-        # 8x on that axis (measured ~1.2x whole-kernel win at 1080p o0).
-        t = pltpu.roll(tiles[k], (TC - rl) % TC, axis=1)
-        t32 = pltpu.roll(t[:, :32], (TR - ry) % TR, axis=0)
-        cy0[k : k + 1] = t32[0:1]
-        cy1[k : k + 1] = t32[1:2]
-        cy2[k : k + 1] = t32[2:3]
 
-    rows = (cy0[...], cy1[...], cy2[...])
+    if matsel:
+        # Batched iota-mask selection instead of per-candidate rolls.
+        # Every needed cube value is ONE element of the candidate's
+        # (16, 256) tile; select it with an exact ==-mask multiply and a
+        # reduce (the sum touches exactly one nonzero, so this is bit-exact
+        # like the rolls). The whole block is processed as (B, 16, 256)
+        # vector ops — no 128x-unrolled dynamic rolls. (An unaligned 3-row
+        # DMA per candidate would avoid the row selection entirely, but
+        # Mosaic requires 8-aligned sublane slices of HBM.)
+        for k in range(B):
+            copy(k).wait()
+        t3 = tiles[...]                                        # (B, TR, TC)
+        ryv = meta_ref[0, :, 3:4].astype(jnp.int32)            # (B, 1)
+        rlv = meta_ref[0, :, 6:7].astype(jnp.int32)            # (B, 1)
+        riota = jax.lax.broadcasted_iota(jnp.int32, (B, TR), 1)
+        planes = []
+        for dy in range(3):
+            rowm = (riota == ryv + dy).astype(jnp.float32)     # (B, TR)
+            planes.append(jnp.sum(t3 * rowm[:, :, None], axis=1))  # (B, TC)
+        ciota = jax.lax.broadcasted_iota(jnp.int32, (B, TC), 1)
 
-    def at(ds, dy, dx):
-        j = (1 + dx) * 8 + 1 + ds
-        return rows[dy + 1][:, j : j + 1]                        # (B, 1)
+        def at(ds, dy, dx):
+            j = (1 + dx) * 8 + 1 + ds
+            cm = (ciota == rlv + j).astype(jnp.float32)
+            return jnp.sum(planes[dy + 1] * cm, axis=1, keepdims=True)
+    else:
+        for k in range(B):
+            i = blk * B + k
+            copy(k).wait()
+            ry = ry_ref[i]
+            rl = rl_ref[i]
+            # Lane-align first, then statically narrow to 32 lanes BEFORE
+            # the sublane roll: the rolls commute (independent axes), and
+            # rolling rows on (16, 32) instead of (16, 256) cuts the
+            # dynamic-roll data 8x on that axis (measured ~1.2x whole-kernel
+            # win at 1080p o0).
+            t = pltpu.roll(tiles[k], (TC - rl) % TC, axis=1)
+            t32 = pltpu.roll(t[:, :32], (TR - ry) % TR, axis=0)
+            cy0[k : k + 1] = t32[0:1]
+            cy1[k : k + 1] = t32[1:2]
+            cy2[k : k + 1] = t32[2:3]
+
+        rows = (cy0[...], cy1[...], cy2[...])
+
+        def at(ds, dy, dx):
+            j = (1 + dx) * 8 + 1 + ds
+            return rows[dy + 1][:, j : j + 1]                    # (B, 1)
 
     # ---- cudaSiftD.cu:1379-1428, identical expressions to the XLA twin
     # (ops.detect.refine_candidates) so both paths agree bit for bit. ----
@@ -170,7 +201,8 @@ def _refine_body(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("edge_limit", "lowest_scale", "interpret")
+    jax.jit,
+    static_argnames=("edge_limit", "lowest_scale", "interpret", "matsel"),
 )
 def refine_candidates_pallas(
     dog: jnp.ndarray,
@@ -179,11 +211,17 @@ def refine_candidates_pallas(
     edge_limit: float,
     lowest_scale: float,
     interpret: bool = False,
+    matsel: bool = True,
 ):
     """Pallas twin of ``ops.detect.refine_candidates``.
 
     Returns the same per-slot field tuple (xpos, ypos, scale, sharpness,
     edgeness, valid) as (K,) arrays. ``dog`` is the (7, H, W) DoG stack.
+
+    ``matsel``: acquire each candidate's 3x3x3 cube by batched iota-mask
+    selection over the whole (B, 16, 256) tile block instead of two dynamic
+    rolls per candidate (bit-identical output; the rolls were ~60% of the
+    kernel at 1080p octave 0).
     """
     nsc, h, w = dog.shape
     k_in = flat_idx.shape[0]
@@ -214,10 +252,10 @@ def refine_candidates_pallas(
             s.astype(jnp.float32),
             y.astype(jnp.float32),
             x.astype(jnp.float32),
-            jnp.zeros((k,), jnp.float32),
+            ry.astype(jnp.float32),
             jnp.full((k,), edge_limit, jnp.float32),
             jnp.full((k,), lowest_scale, jnp.float32),
-            jnp.zeros((k,), jnp.float32),
+            rl.astype(jnp.float32),
             jnp.zeros((k,), jnp.float32),
         ],
         axis=-1,
@@ -241,7 +279,7 @@ def refine_candidates_pallas(
         ],
     )
     out = pl.pallas_call(
-        _refine_kernel,
+        functools.partial(_refine_kernel, matsel=matsel),
         out_shape=jax.ShapeDtypeStruct((nb, B, 8), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,

@@ -173,7 +173,9 @@ def _extract_octave(
             "data": jnp.concatenate([desc1, desc2]),
         }
         slot_valid = jnp.concatenate([cands.valid, cands.valid & has_second])
-        fields["data"] = jnp.where(slot_valid[:, None], fields["data"], 0.0)
+        # No masking of dead descriptor slots here: the final merge compact
+        # gathers live rows only and zeroes everything past the count, so a
+        # where() over the (2*cap, 128) array would only add HBM traffic.
     else:
         primary, secondary, has_second = _orientations(
             base, cands.xpos, cands.ypos, scale_safe, params.use_pallas,
@@ -189,7 +191,11 @@ def _extract_octave(
         }
         valid = jnp.concatenate([cands.valid, cands.valid & has_second])
 
-        desc_cap = (capacity * 5 // 4 + 127) // 128 * 128
+        # Full second-peak budget (every candidate may spawn one duplicate),
+        # matching the fused TPU path — the CPU/XLA backend then produces the
+        # same point set, and duplicates are only ever dropped at the global
+        # maxPts clamp like the reference (cudaSiftD.cu:1420).
+        desc_cap = capacity * 2
         fields, count = _compact(fields, valid, desc_cap)
         slot_valid = jnp.arange(desc_cap) < count
 
@@ -202,7 +208,8 @@ def _extract_octave(
             params.use_pallas,
             count=count,
         )
-        fields["data"] = jnp.where(slot_valid[:, None], desc, 0.0)
+        # Dead slots keep kernel garbage; the final merge zeroes them.
+        fields["data"] = desc
 
     fields["xpos"] = fields["xpos"] * subsampling
     fields["ypos"] = fields["ypos"] * subsampling
@@ -228,7 +235,7 @@ def _extract_sift_traced(image: jnp.ndarray, params: SiftParams) -> SiftData:
     # Smallest octave first (reference recursion order, cudaSiftH.cu:146-167).
     for o in reversed(range(params.num_octaves)):
         oh, ow = bases[o].shape
-        cap = params.candidate_capacity(oh, ow)
+        cap = params.candidate_capacity(oh, ow, o)
         fields, valid = _extract_octave(
             bases[o], kernels[o], params, float(2**o), cap
         )

@@ -19,7 +19,18 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# The on-TPU gate (`CUDASIFT_TEST_TPU=1 pytest tests/test_tpu.py`) keeps the
+# real backend; everything else runs on CPU (Pallas in interpret mode).
+if os.environ.get("CUDASIFT_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
+
+# Suite wall time on this 1-core host is ~95% XLA compiles (a cold
+# interpret-mode fused-kernel compile is ~45 s; its run is ~0.1 s). Cache
+# executables across runs: cold suite unchanged, warm suite is minutes
+# faster. The cache dir is gitignored.
+_cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 import pytest

@@ -9,16 +9,23 @@ stay inside generous bands around the published numbers, plus a
 MatchAll-style consistency check of matches against the fitted homography
 (mainSift.cpp:95-148).
 
-Envelope notes:
-- The reference under-reports numPts by excluding the last octave's
-  second-orientation duplicates (cudaSiftH.cu:115); we count them
-  (documented deviation, ROADMAP.md), so our counts sit a few percent high.
-- %Matches = numFit / min(numPts) (mainSift.cpp:80-81), so the deviation
-  above also drags our rate a few points low.
+Accounting notes:
+- The reference under-reports numPts by excluding the full-resolution
+  octave's second-orientation duplicates: it reads
+  d_PointCounter[2*numOctaves], which the duplicates (counter 2*numOctaves+1)
+  sit beyond (cudaSiftH.cu:115, cudaSiftD.cu:1049). We report the full count
+  in SiftData.num_pts (documented deviation, ROADMAP.md) and compute the
+  reference-style count here by trimming that trailing duplicate block, so
+  both rates are asserted.
+- %Matches = numFit / min(numPts) (mainSift.cpp:80-81).
 
-Measured on this implementation (CPU, exact demo params):
-  thresh 3.0: feats 3629/4269, numFit 1340 (ref 1627), rate 36.9% (ref 45.8%)
-  thresh 4.0: feats 2184/2686, numFit  868 (ref  881), rate 39.7% (ref 48.5%)
+Measured on this implementation (CPU, exact demo params, round 3 — after the
+per-octave candidate caps stopped saturating on this fixture):
+  thresh 3.0: ref-style feats 3924/5451, numFit 1918, rate 48.9%
+              (reference table: 1627 at 45.8% — we exceed both)
+  thresh 4.0: ref-style feats 2044/2944, numFit 1033, rate 50.5%
+              (reference table:  881 at 48.5%)
+  inlier residuals: median ~1.0-1.2 px, p90 ~2.1 px at thresh 3.0
 """
 
 import numpy as np
@@ -28,6 +35,27 @@ import pytest
 
 import cudasift_tpu as cs
 from cudasift_tpu import SiftParams
+
+
+def ref_style_numpts(d):
+    """numPts as the reference reports it: trim the trailing block of
+    full-res-octave second-orientation duplicates (cudaSiftH.cu:115)."""
+    n = int(d.num_pts)
+    xs = np.asarray(d.xpos)[:n]
+    ys = np.asarray(d.ypos)[:n]
+    sc = np.asarray(d.scale)[:n]
+    seen = set()
+    is_dup = np.zeros(n, bool)
+    for i in range(n):
+        key = (xs[i], ys[i], sc[i])
+        if key in seen:
+            is_dup[i] = True
+        else:
+            seen.add(key)
+    k = 0
+    while k < n and is_dup[n - 1 - k]:
+        k += 1
+    return n - k
 
 
 @pytest.fixture(scope="module")
@@ -51,30 +79,47 @@ def demo_flow(left, righ, thresh, scale_up=False, num_loops=10000):
                                num_loops=num_loops, min_score=0.0,
                                max_ambiguity=0.8, thresh=5.0)
     H2, numfit, err = cs.improve_homography(d1, H, 5, 0.0, 0.80, 3.0)
-    return d1, d2, np.asarray(H2), int(nm), int(numfit)
+    return d1, d2, np.asarray(H2), int(nm), int(numfit), np.asarray(err)
 
 
-# (thresh, ref_numfit, ref_rate_pct) from README.md:113-121.
-ENVELOPES = [(3.0, 1627, 45.8), (4.0, 881, 48.5)]
+# (thresh, ref_numfit, ref_rate_pct) from README.md:113-121, plus the
+# values measured on this implementation (CPU, ref-style accounting) that
+# the +-10% / +-4-point regression bands anchor to.
+ENVELOPES = [
+    (3.0, 1627, 45.8, 1918, 48.9, 3924),
+    (4.0, 881, 48.5, 1033, 50.5, 2044),
+]
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("thresh,ref_fit,ref_rate", ENVELOPES)
-def test_full_fixture_envelope(stereo_pair, thresh, ref_fit, ref_rate):
+@pytest.mark.parametrize(
+    "thresh,ref_fit,ref_rate,meas_fit,meas_rate,meas_feats", ENVELOPES
+)
+def test_full_fixture_envelope(stereo_pair, thresh, ref_fit, ref_rate,
+                               meas_fit, meas_rate, meas_feats):
     left, righ = stereo_pair
-    d1, d2, H, nm, numfit = demo_flow(left, righ, thresh)
+    d1, d2, H, nm, numfit, err = demo_flow(left, righ, thresh)
     n1, n2 = int(d1.num_pts), int(d2.num_pts)
-    nmin = min(n1, n2)
-    rate = 100.0 * numfit / nmin
+    r1, r2 = ref_style_numpts(d1), ref_style_numpts(d2)
+    nmin_ref = min(r1, r2)
+    numfit_ref = int((err[:r1] < 3.0).sum())
+    rate_ref_style = 100.0 * numfit_ref / nmin_ref
 
-    # Feature counts: the table implies ref features ~= numfit / rate.
-    ref_feats = ref_fit / (ref_rate / 100.0)
-    assert 0.7 * ref_feats <= nmin <= 1.35 * ref_feats, (nmin, ref_feats)
-    # Homography-refined match count inside a +-30% band of the table.
-    assert 0.7 * ref_fit <= numfit <= 1.3 * ref_fit, (numfit, ref_fit)
-    # Match rate within [-12, +5] points of the table (lower side absorbs
-    # the documented duplicate-count deviation).
-    assert ref_rate - 12.0 <= rate <= ref_rate + 5.0, (rate, ref_rate)
+    # Beat-the-table floor: reference-style numFit and rate must stay at or
+    # above the reference's published row (small slack for backend drift).
+    assert numfit_ref >= 0.95 * ref_fit, (numfit_ref, ref_fit)
+    assert rate_ref_style >= ref_rate - 2.0, (rate_ref_style, ref_rate)
+    # Regression bands around the measured level: +-10% counts,
+    # +-4 points rate.
+    assert 0.9 * meas_feats <= nmin_ref <= 1.1 * meas_feats, (
+        nmin_ref, meas_feats)
+    assert 0.9 * meas_fit <= numfit_ref <= 1.1 * meas_fit, (
+        numfit_ref, meas_fit)
+    assert abs(rate_ref_style - meas_rate) <= 4.0, (rate_ref_style, meas_rate)
+    # Residual tightness (ADVICE r2): numFit gains must not come from a
+    # looser consensus — inlier errors stay sub-1.5-px at the median.
+    fit_err = err[:n1][err[:n1] < 3.0]
+    assert np.median(fit_err) <= 1.5, np.median(fit_err)
 
     # MatchAll-style consistency (mainSift.cpp:95-148): among ratio-test
     # accepted matches, a solid majority must agree with the fitted
@@ -100,20 +145,28 @@ def test_full_fixture_envelope(stereo_pair, thresh, ref_fit, ref_rate):
 def test_full_fixture_envelope_upscale(stereo_pair):
     # README.md:124-134, upScale=True at thresh 4.5: 954 matches, 42.2%.
     # Our upscale pipeline is semantically faithful (ScaleUp -> LowPass ->
-    # loop at 2x -> RescalePositions, cudaSiftH.cu:118-131) but finds ~30%
-    # more features/matches than the table (measured: 3409/3407 feats,
-    # numFit 1267, 37.2%); the no-upscale rows match the table closely, so
-    # the asymmetric band below guards regressions from today's behavior
-    # rather than asserting an exact match to a table we cannot reproduce
-    # without the reference GPU.
+    # loop at 2x -> RescalePositions, cudaSiftH.cu:118-131) but finds ~50%
+    # more features than the table at a comparable rate (measured round 3:
+    # 3426/3702 feats, numFit 1373, 40.1%, median inlier err 0.94 px).
+    # Root cause of the surplus (deviations ledger, ROADMAP.md): per-octave
+    # extrema decomposition shows upscale octaves 2-4 mirror the no-upscale
+    # octaves 1-3 at 1.0-1.2x, while the surplus sits in the NEW finest
+    # octave (interpolation-scale features the table's flow also extracts)
+    # and in upscale octave 1 (2.5x plain octave 0: LowPass sigma=initBlur
+    # is applied in upscaled-pixel units, cudaSiftH.cu:124, halving the
+    # effective prefilter for same-scale content). Both effects are shared
+    # with the reference flow; the table's GPU/code vintage is unknowable,
+    # so the bands guard today's measured behavior.
     left, righ = stereo_pair
-    d1, d2, H, nm, numfit = demo_flow(left, righ, 4.5, scale_up=True,
-                                      num_loops=4096)
+    d1, d2, H, nm, numfit, err = demo_flow(left, righ, 4.5, scale_up=True,
+                                           num_loops=4096)
     n1, n2 = int(d1.num_pts), int(d2.num_pts)
     nmin = min(n1, n2)
     rate = 100.0 * numfit / nmin
-    assert 0.8 * 954 <= numfit <= 1.6 * 954, numfit
-    assert 42.2 - 12.0 <= rate <= 42.2 + 5.0, rate
+    assert 0.9 * 1373 <= numfit <= 1.1 * 1373, numfit
+    assert abs(rate - 40.1) <= 4.0, rate
+    fit_err = err[:n1][err[:n1] < 3.0]
+    assert np.median(fit_err) <= 1.5, np.median(fit_err)
     # Positions stay in original-image coordinates after RescalePositions.
     vmask = np.asarray(d1.valid_mask())
     assert np.asarray(d1.xpos)[vmask].max() <= left.shape[1]

@@ -5,11 +5,14 @@ import jax.numpy as jnp
 
 
 def test_utils_package_paths():
-    import cudasift_tpu as cs
+    # Import the subpackages explicitly — `cs.utils` only exists as an
+    # attribute after some module imports it, so relying on another test
+    # to have done so made this test order-dependent.
+    from cudasift_tpu.utils import io, timers, viz
 
-    assert callable(cs.utils.io.imread_gray)
-    assert callable(cs.utils.viz.draw_match_data)
-    assert callable(cs.utils.timers.time_fn)
+    assert callable(io.imread_gray)
+    assert callable(viz.draw_match_data)
+    assert callable(timers.time_fn)
 
 
 def test_print_sift_data(capsys):

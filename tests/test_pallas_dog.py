@@ -32,6 +32,30 @@ def test_dog_and_mask_matches_xla(rng):
         len(got), len(ref))
 
 
+def test_dog_and_mask_mxu_vert_variant(rng):
+    """The MXU banded-matmul vertical-conv variant (measured no-win on v5e,
+    kept for bigger-MXU parts — ROADMAP 'negative results') must stay within
+    its bf16x3-split error envelope of the VPU form."""
+    img = (rng.standard_normal((70, 150)) * 25 + 110).astype(np.float32)
+    img = golden.sep_conv_clamp(img, golden.gaussian_kernel(2, 1.0)).astype(
+        np.float32
+    )
+    ktab = laplace_kernels(2)[0]
+    dog0, mask0 = dog_and_mask_pallas(
+        jnp.asarray(img), jnp.asarray(ktab), 0.8, 10.0, interpret=True
+    )
+    dog1, mask1 = dog_and_mask_pallas(
+        jnp.asarray(img), jnp.asarray(ktab), 0.8, 10.0, interpret=True,
+        mxu_vert=True,
+    )
+    scale = float(np.abs(np.asarray(dog0)).max())
+    np.testing.assert_allclose(
+        np.asarray(dog1), np.asarray(dog0), atol=5e-4 * max(scale, 1.0)
+    )
+    flips = int((np.asarray(mask0) != np.asarray(mask1)).sum())
+    assert flips <= max(2, int(np.asarray(mask0).sum()) // 100), flips
+
+
 def test_dog_and_mask_wide_image(rng):
     """Wide images use th=8 strips (the th=16 working set exceeds Mosaic's
     scoped-VMEM budget at w>2048 — regression seen at 1440p). The narrow-

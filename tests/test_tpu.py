@@ -1,0 +1,169 @@
+"""On-TPU cross-implementation agreement gate.
+
+The reference's only automated check is exactly this kind of
+cross-implementation agreement (CheckMatches, match.cu:132-141): the
+optimized GPU path must reproduce a simpler trusted path on the same
+hardware. The CPU pytest suite validates Pallas kernels in interpret mode;
+Mosaic *lowering* divergences (the bug class this project actually hits)
+only surface on the real chip. These tests run the fused/Pallas TPU paths
+against their XLA twins on-chip.
+
+Run with:  CUDASIFT_TEST_TPU=1 python -m pytest tests/test_tpu.py -q
+(~4 min: dominated by two extract_sift compiles on the fixture crop).
+Skipped automatically in the CPU suite.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import cudasift_tpu as cs
+from cudasift_tpu.config import SiftParams
+
+pytestmark = [
+    pytest.mark.tpu,
+    pytest.mark.skipif(
+        jax.default_backend() in ("cpu",),
+        reason="needs the real TPU backend (set CUDASIFT_TEST_TPU=1)",
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def crop(left_image):
+    # 512x640 crop: big enough for ~600 keypoints over 4 octaves, small
+    # enough that the two extract_sift compiles stay ~1 min each.
+    return jnp.asarray(left_image[200:712, 300:940])
+
+
+def test_refine_pallas_bit_agreement_on_chip(left_image):
+    from cudasift_tpu.ops import convolve
+    from cudasift_tpu.ops.detect import (
+        extrema_mask, compact_mask, refine_candidates,
+    )
+    from cudasift_tpu.ops.pallas.refine import refine_candidates_pallas
+
+    params = SiftParams(num_octaves=3, thresh=2.0)
+    img = jnp.asarray(left_image[:384, :512])
+    low = convolve.low_pass(img, 1.0)
+    blur = convolve.blur_multi(low, params.laplace_kernels[0])
+    dog = blur[1:] - blur[:-1]
+    mask = extrema_mask(dog, 2.0, 10.0)
+    idx, cnt = compact_mask(mask, 1024)
+    assert int(cnt) > 50
+    ref = refine_candidates(dog, idx, cnt, 10.0, 0.0)
+    out = refine_candidates_pallas(dog, idx, cnt, 10.0, 0.0)
+    for a, b, name in zip(ref, out, ["x", "y", "sc", "sh", "ed", "valid"]):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=name
+        )
+
+
+def test_dog_stencil_mask_agreement_on_chip(left_image):
+    from cudasift_tpu.ops import convolve
+    from cudasift_tpu.ops.detect import extrema_mask
+    from cudasift_tpu.ops.pallas.dog import dog_and_mask_pallas
+
+    params = SiftParams(num_octaves=3, thresh=3.0)
+    img = jnp.asarray(left_image[:384, :512])
+    low = convolve.low_pass(img, 1.0)
+    kern = params.laplace_kernels[0]
+
+    blur = convolve.blur_multi(low, kern)
+    dog_x = blur[1:] - blur[:-1]
+    mask_x = np.asarray(extrema_mask(dog_x, 3.0, 10.0))
+
+    dog_p, mask_p = dog_and_mask_pallas(low, kern, 3.0, 10.0)
+    # DoG planes: elementwise agreement within f32 stencil-order noise.
+    scale = float(np.abs(np.asarray(dog_x)).max())
+    np.testing.assert_allclose(
+        np.asarray(dog_p), np.asarray(dog_x), atol=2e-4 * max(scale, 1.0)
+    )
+    # Candidate masks may flip only on razor-edge pixels.
+    flips = int((np.asarray(mask_p) != mask_x).sum())
+    assert flips <= max(3, int(0.002 * mask_x.sum())), (
+        flips, int(mask_x.sum())
+    )
+
+
+def test_matcher_exactness_on_chip(rng):
+    from cudasift_tpu.ops.match import match_descriptors
+    from cudasift_tpu.ops.pallas.match import match_descriptors_pallas
+
+    d1 = rng.normal(size=(1536, 128)).astype(np.float32)
+    d2 = rng.normal(size=(2048, 128)).astype(np.float32)
+    d1 /= np.linalg.norm(d1, axis=1, keepdims=True)
+    d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
+    n1 = jnp.int32(1400)
+    n2 = jnp.int32(1900)
+    sc_x, amb_x, idx_x = match_descriptors(
+        jnp.asarray(d1), jnp.asarray(d2), n1, n2
+    )
+    sc_p, amb_p, idx_p = match_descriptors_pallas(
+        jnp.asarray(d1), jnp.asarray(d2), n1, n2
+    )
+    # Index agreement must be exact (CheckMatches, match.cu:132-141);
+    # compare live rows only (slots past n1 are don't-care padding).
+    n = 1400
+    np.testing.assert_array_equal(np.asarray(idx_x)[:n], np.asarray(idx_p)[:n])
+    np.testing.assert_allclose(
+        np.asarray(sc_x)[:n], np.asarray(sc_p)[:n], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(amb_x)[:n], np.asarray(amb_p)[:n], atol=1e-4
+    )
+
+
+def test_fused_vs_split_pipeline_on_chip(crop):
+    """Fused orient+descriptor kernel vs split Pallas kernels, end to end."""
+    base = SiftParams(num_octaves=4, init_blur=1.0, thresh=4.0, max_pts=8192)
+    df = cs.extract_sift(crop, dataclasses.replace(base, use_fused=True))
+    ds = cs.extract_sift(crop, dataclasses.replace(base, use_fused=False))
+    nf, ns = int(df.num_pts), int(ds.num_pts)
+    assert nf > 200 and ns > 200
+
+    def keyset(d, n):
+        return {
+            (round(float(x), 2), round(float(y), 2), round(float(s), 2))
+            for x, y, s in zip(
+                np.asarray(d.xpos)[:n], np.asarray(d.ypos)[:n],
+                np.asarray(d.scale)[:n])
+        }
+
+    kf, ks = keyset(df, nf), keyset(ds, ns)
+    overlap = len(kf & ks) / max(len(kf), len(ks))
+    assert overlap >= 0.98, overlap
+
+    # Orientation / descriptor agreement on position-matched points.
+    tf = {}
+    for i in range(nf):
+        key = (round(float(np.asarray(df.xpos)[i]), 2),
+               round(float(np.asarray(df.ypos)[i]), 2))
+        tf.setdefault(key, []).append(i)
+    ori_f = np.asarray(df.orientation)
+    ori_s = np.asarray(ds.orientation)
+    data_f = np.asarray(df.data)
+    data_s = np.asarray(ds.data)
+    oerr, derr = [], []
+    for i in range(ns):
+        key = (round(float(np.asarray(ds.xpos)[i]), 2),
+               round(float(np.asarray(ds.ypos)[i]), 2))
+        js = tf.get(key)
+        if not js or len(js) != 1:
+            continue
+        j = js[0]
+        do = abs(ori_f[j] - ori_s[i])
+        oerr.append(min(do, 360.0 - do))
+        derr.append(float(np.abs(data_f[j] - data_s[i]).max()))
+    oerr = np.asarray(oerr)
+    derr = np.asarray(derr)
+    assert len(oerr) > 100
+    # Bands from the measured bf16 envelope (ROADMAP.md): orientations agree
+    # to <2 deg on ~all singleton points; descriptors to ~2e-3 p99.
+    assert (oerr < 2.0).mean() >= 0.95, (oerr > 2).sum()
+    assert np.percentile(derr, 99) < 5e-3, np.percentile(derr, 99)
