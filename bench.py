@@ -176,6 +176,50 @@ def main():
         gflops = flops / (ms * 1e-3) / 1e9
         log(f"match {tag}x{tag}: {ms:.3f} ms ({gflops:.0f} GFLOPS)")
 
+    # Match-quality envelope on the bundled pair (README.md:111-121 row
+    # thresh 3.0: 1627 refined matches at 45.8%). Reference-style
+    # accounting: trim the trailing full-res-octave duplicate block
+    # (cudaSiftH.cu:115).
+    try:
+        import cv2
+
+        left = cv2.imread("/root/reference/data/left.pgm", 0)
+        righ = cv2.imread("/root/reference/data/righ.pgm", 0)
+    except ImportError:
+        left = righ = None
+    if left is not None and righ is not None:
+        params_q = cs.SiftParams(num_octaves=5, init_blur=1.0, thresh=3.0,
+                                 max_pts=32768)
+        e1 = cs.extract_sift(jnp.asarray(left.astype(np.float32)), params_q)
+        e2 = cs.extract_sift(jnp.asarray(righ.astype(np.float32)), params_q)
+        e1 = cs.match_sift_data(e1, e2)
+        Hq, nmq = cs.find_homography(
+            e1, jax.random.PRNGKey(0), num_loops=10000, min_score=0.0,
+            max_ambiguity=0.8, thresh=5.0)
+        _, nfit, errq = cs.improve_homography(e1, Hq, 5, 0.0, 0.80, 3.0)
+
+        def ref_style(d):
+            n = int(d.num_pts)
+            xs, ys, sc = (np.asarray(d.xpos)[:n], np.asarray(d.ypos)[:n],
+                          np.asarray(d.scale)[:n])
+            seen, dup = set(), np.zeros(n, bool)
+            for i in range(n):
+                key = (xs[i], ys[i], sc[i])
+                dup[i] = key in seen
+                seen.add(key)
+            k = 0
+            while k < n and dup[n - 1 - k]:
+                k += 1
+            return n - k
+
+        r1, r2 = ref_style(e1), ref_style(e2)
+        nf_ref = int((np.asarray(errq)[:r1] < 3.0).sum())
+        rate = 100.0 * nf_ref / min(r1, r2)
+        results["numfit_thresh3"] = float(nf_ref)
+        results["match_rate_thresh3_pct"] = rate
+        log(f"quality thresh 3.0: numFit {nf_ref} at {rate:.1f}% "
+            f"(reference table: 1627 at 45.8%)")
+
     primary = results["extract_1920x1080_ms"]
     out = {
         "metric": "extract_1920x1080_ms",

@@ -1,0 +1,205 @@
+"""Count-gated Pallas candidate compaction (TPU path).
+
+TPU-native replacement for the atomicInc candidate append of
+``FindPointsMultiNew`` (cudaSiftD.cu:1418-1428), twin of the XLA
+radix-512 rank search ``ops.detect.compact_mask``. Same semantics:
+raster-ordered flat indices of set mask entries, zero past ``count``.
+
+The XLA twin's cost scales with CAPACITY: every slot performs one random
+(512,)-row HBM gather from the chunk level of the popcount pyramid plus a
+512-lane cumsum, ~27 ns/slot — and the capacity head-room needed to never
+drop candidates (the reference never does) makes slots ≫ live count.
+
+MEASURED NEGATIVE RESULT (v5e, round 3): the XLA twin runs all five
+octaves of the 1080p bench in 0.078 ms minima vs 0.119 ms for this kernel
+(0.65x) — XLA's batched row gather is faster than per-slot (8, 512)
+region DMAs, and compaction is only ~1% of extraction, not the ~10% a
+contaminated profiler reading suggested. Kept unwired as a tested
+reference for workloads where capacity ≫ count by much larger factors;
+the pipeline uses ``ops.detect.compact_mask``.
+
+The split keeps the capacity-scaled half dense and count-gates the
+per-slot half:
+
+- XLA (dense, no per-slot gathers): chunk popcounts, the top-level rank
+  descent as a (cap, ≤512) compare, and the mid-level descent with the
+  row gather replaced by a one-hot HIGHEST-precision MXU matmul
+  (exact: counts are integers ≤ 512). Produces each slot's chunk id and
+  in-chunk rank.
+- Pallas kernel (count-gated, grid over 128-slot blocks): per slot, DMA
+  the 8-chunk-aligned (8, 512) mask region around its chunk (Mosaic
+  requires 8-aligned sublane slices of HBM) and run the final in-region
+  rank search as batched (B, 8, 512) mask/cumsum ops. Blocks past the
+  live count skip everything, and the 128 region DMAs per block overlap
+  — unlike XLA's serialized gathers.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+B = 128     # slots per program
+RADIX = 512
+
+
+def _lane_cumsum(x):
+    """Inclusive cumsum over the lane axis of (B, 512) via 9 masked rolls
+    (jnp.cumsum's lowering is not available under Mosaic)."""
+    n = x.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    sh = 1
+    while sh < n:
+        shifted = pltpu.roll(x, sh, axis=x.ndim - 1)
+        x = x + jnp.where(lane >= sh, shifted, 0.0)
+        sh *= 2
+    return x
+
+
+def _compact_kernel(region_ref, cnt_ref,           # scalar prefetch
+                    m2_ref, meta_ref,              # array inputs
+                    out_ref,                       # (1, B) int32
+                    tiles, sems):
+    blk = pl.program_id(0)
+    total = cnt_ref[0]
+
+    @pl.when(blk * B >= total)
+    def _():
+        out_ref[...] = jnp.zeros((1, B, 1), jnp.int32)
+
+    @pl.when(blk * B < total)
+    def _():
+        def copy(k):
+            i = blk * B + k
+            reg = pl.multiple_of(region_ref[i], 8)
+            return pltpu.make_async_copy(
+                m2_ref.at[pl.ds(reg, 8), :], tiles.at[k], sems.at[k]
+            )
+
+        for k in range(B):
+            copy(k).start()
+        for k in range(B):
+            copy(k).wait()
+
+        t3 = tiles[...]                                   # (B, 8, 512)
+        regionv = meta_ref[0, :, 0:1].astype(jnp.int32)   # (B, 1)
+        rankv = meta_ref[0, :, 1:2]                       # (B, 1) f32, 1-based
+
+        # Row (chunk-within-region) selection.
+        csum = jnp.sum(t3, axis=2)                        # (B, 8)
+        ccum = _lane_cumsum(csum)
+        below = ccum < rankv                              # (B, 8)
+        rowsel = jnp.sum(below.astype(jnp.int32), axis=1, keepdims=True)
+        prefix = jnp.sum(jnp.where(below, csum, 0.0), axis=1, keepdims=True)
+
+        # In-chunk rank search on the selected row.
+        riota = jax.lax.broadcasted_iota(jnp.int32, (B, 8), 1)
+        rowm = (riota == rowsel).astype(jnp.float32)      # (B, 8)
+        sel = jnp.sum(t3 * rowm[:, :, None], axis=1)      # (B, 512)
+        cum = _lane_cumsum(sel)
+        below2 = cum < (rankv - prefix)
+        loc = jnp.sum(below2.astype(jnp.int32), axis=1, keepdims=True)
+
+        slot = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0) + blk * B
+        idx = (regionv + rowsel) * RADIX + loc
+        idx = jnp.where(slot < total, idx, 0)
+        out_ref[0] = idx
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "interpret"))
+def compact_mask_pallas(
+    mask: jnp.ndarray, capacity: int, interpret: bool = False
+):
+    """Pallas twin of ``ops.detect.compact_mask``.
+
+    ``mask`` may be bool or float (the DoG stencil emits float32 0/1, which
+    avoids a conversion pass). Returns (flat_idx (capacity,) int32,
+    count () int32), bit-identical to the XLA twin.
+    """
+    flat = mask.reshape(-1)
+    if flat.dtype != jnp.float32:
+        flat = flat.astype(jnp.float32)
+    n = flat.shape[0]
+    # Pad to a whole number of 8-chunk (4096-entry) regions.
+    pad = (-n) % (8 * RADIX)
+    if pad:
+        flat = jnp.pad(flat, (0, pad))
+    nchunks = flat.shape[0] // RADIX
+    m2 = flat.reshape(nchunks, RADIX)
+
+    # ---- dense rank-search prep (XLA) ----
+    seg = jnp.sum(m2, axis=1)                             # (nchunks,) f32
+    nl1 = -(-nchunks // RADIX)
+    lpad = nl1 * RADIX - nchunks
+    segp = jnp.pad(seg, (0, lpad)) if lpad else seg
+    l1 = segp.reshape(nl1, RADIX)                         # (nl1, 512)
+    top = jnp.sum(l1, axis=1)                             # (nl1,)
+    top_cum = jnp.cumsum(top)
+    total = top_cum[-1]
+    count = jnp.minimum(total, capacity).astype(jnp.int32)
+
+    targets = jnp.arange(1, capacity + 1, dtype=jnp.float32)[:, None]
+    below = top_cum[None, :] < targets                    # (cap, nl1)
+    node1 = jnp.sum(below.astype(jnp.int32), axis=1)      # (cap,)
+    start = jnp.sum(jnp.where(below, top[None, :], 0.0), axis=1)
+
+    # Mid-level row "gather" as an exact one-hot matmul (counts ≤ 512 are
+    # exact in the HIGHEST-precision bf16 expansion).
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (capacity, nl1), 1)
+              == node1[:, None]).astype(jnp.float32)
+    rows = jax.lax.dot_general(
+        onehot, l1, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                     # (cap, 512)
+    cum = jnp.cumsum(rows, axis=1)
+    rank1 = targets - start[:, None]
+    below1 = cum < rank1                                  # (cap, 512)
+    loc1 = jnp.sum(below1.astype(jnp.int32), axis=1)
+    start = start + jnp.sum(jnp.where(below1, rows, 0.0), axis=1)
+
+    node0 = node1 * RADIX + loc1                          # chunk id
+    # Dead slots (target > total) descend past the last chunk; clamp their
+    # region so the kernel's DMA stays in bounds (their output is forced to
+    # zero by the count gate).
+    region = jnp.clip(node0 // 8 * 8, 0, nchunks - 8)
+    # Entries in chunks [region, node0) — all within the same l1 row.
+    j = jax.lax.broadcasted_iota(jnp.int32, (capacity, RADIX), 1)
+    in_gap = (j >= (loc1 // 8 * 8)[:, None]) & (j < loc1[:, None])
+    gap = jnp.sum(jnp.where(in_gap, rows, 0.0), axis=1)
+    rank_region = targets[:, 0] - (start - gap)           # 1-based in region
+
+    meta = jnp.stack(
+        [region.astype(jnp.float32), rank_region], axis=-1
+    )                                                     # (cap, 2)
+    kpad = (-capacity) % B
+    if kpad:
+        region = jnp.pad(region, (0, kpad))
+        meta = jnp.pad(meta, ((0, kpad), (0, 0)))
+    k = region.shape[0]
+    meta = meta.reshape(k // B, B, 2)
+
+    nb = k // B
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, B, 2), lambda i, *_: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, B, 1), lambda i, *_: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((B, 8, RADIX), jnp.float32),
+            pltpu.SemaphoreType.DMA((B,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _compact_kernel,
+        out_shape=jax.ShapeDtypeStruct((nb, B, 1), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(region, jnp.atleast_1d(count), m2, meta)
+    return out.reshape(k)[:capacity], count

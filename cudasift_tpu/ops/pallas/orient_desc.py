@@ -686,9 +686,12 @@ def _run_table(img_padded, xpos, ypos, scale, live, interpret, fast):
     idx = jnp.zeros((nc,), jnp.int32).at[bucket_pos].set(slots, mode="drop")
     jpos = jnp.arange(nc)
     live_pos = (jpos < cnt_s) | ((jpos >= cs_pad) & (jpos < cs_pad + cnt_l))
-    bx = xpos[idx]
-    by = ypos[idx]
-    bs = jnp.where(live_pos, scale[idx], 1.0)
+    # One stacked row gather instead of three scalar gathers (scalar 1-D
+    # gathers cost ~20 ns/element on TPU; 12-byte rows amortize).
+    pts = jnp.stack([xpos, ypos, scale], axis=1)[idx]     # (nc, 3)
+    bx = pts[:, 0]
+    by = pts[:, 1]
+    bs = jnp.where(live_pos, pts[:, 2], 1.0)
     margins = jnp.where(jpos < cs_pad, GEOM_SMALL[2], GEOM_LARGE[2])
     cnts = jnp.stack([cnt_s, cs_pad, cnt_l])
 
@@ -715,18 +718,24 @@ def _run_table(img_padded, xpos, ypos, scale, live, interpret, fast):
     has2_pos = live_pos & (meta[:, 2] > 0.5)
     # A group where only some keypoints have a second peak computes every
     # member's second descriptor; mask the invalid siblings.
-    results = (
-        unpack(d1),
-        jnp.where(has2_pos[:, None], unpack(d2), 0.0),
-        jnp.where(live_pos, meta[:, 0], 0.0),
-        jnp.where(live_pos, meta[:, 1], 0.0),
-        has2_pos.astype(jnp.float32),
-    )
-    # Scatter from table order back to slot order.
-    dest = jnp.where(live_pos, idx, n)
-    return tuple(
-        jnp.zeros((n,) + r.shape[1:], r.dtype).at[dest].set(r, mode="drop")
-        for r in results
+    d1s = unpack(d1)
+    d2s = jnp.where(has2_pos[:, None], unpack(d2), 0.0)
+
+    # Table order -> slot order is a pure GATHER: bucket_pos maps each slot
+    # to its table row (TPU scatters serialize per element — the scatter
+    # form here cost 0.5 ms of the 1080p extraction). Dead slots index the
+    # out-of-range sentinel, clamp to some row, and are masked off.
+    lv = live[:, None]
+    g1 = jnp.where(lv, d1s[bucket_pos], 0.0)
+    g2 = jnp.where(lv, d2s[bucket_pos], 0.0)
+    gm = jnp.where(lv, meta[bucket_pos], 0.0)            # (n, 8)
+    ghas2 = jnp.where(live, gm[:, 2] > 0.5, False)
+    return (
+        g1,
+        g2,
+        jnp.where(live, gm[:, 0], 0.0),
+        jnp.where(live, gm[:, 1], 0.0),
+        ghas2.astype(jnp.float32),
     )
 
 

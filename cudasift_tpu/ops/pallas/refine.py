@@ -7,21 +7,29 @@ pack; XLA's gather runs at ~128 ns per index and processes every capacity
 slot, which made refinement the most expensive stage of detection
 (~2 ms at 1080p for ~1700 live candidates in 5120 slots).
 
-This kernel instead:
+This kernel consumes the (7, H, W) DoG stack DIRECTLY (plane index =
+leading dim of the DMA source, so no channels-last transpose/pad pack is
+ever materialized — the pack form cost ~0.6 ms of XLA relayout per 1080p
+frame). Per candidate it:
 
-- DMAs one (16, 256) f32 tile per candidate from a channels-last DoG pack
-  ``(H, W*8)`` — the tile covers rows y-1..y+1 and all scale channels of
-  x-1..x+1; DMAs for a whole block are issued up front and overlap;
-- acquires each candidate's 3x3x3 cube from its tile either by batched
-  iota-mask selection over the whole (B, 16, 256) block (``matsel``, the
-  default) or by two dynamic rolls per candidate (lane roll folding sub-tile
-  alignment + scale-channel selection, then a narrowed sublane roll); both
-  produce bit-identical values;
+- DMAs three (16, 128) f32 tiles — rows oy..oy+15, the 128-lane column
+  block holding x-1..x+1, from planes s..s+2 — stacked into a (48, 128)
+  scratch tile; the 3*B DMAs for a block are issued up front and overlap;
+- lane-rolls each tile once by the in-block x offset and statically
+  narrows to 32 lanes (lane 1+dx then holds column x+dx exactly);
+- selects the nine (plane, row) combinations batched over the whole block
+  with exact iota-==-masks (rows are per-candidate because oy is 8-aligned
+  while y is not; one sum over a one-hot mask is bit-exact);
 - runs the reference's refinement arithmetic — Hessian adjugate solve,
   +-0.5 Newton fallback, edge test, scale formula — batched over the whole
   block as (B, 1) column ops (the XLA twin's expressions verbatim, so the
   two paths agree bit for bit);
 - is count-gated: programs past the live-candidate count skip everything.
+
+Measured negative alternatives (ROADMAP.md): unaligned 3-row DMAs
+(Mosaic requires 8-aligned sublane slices), dynamic-sublane row reads
+(relayout), full iota-mask acquire of the channels-last pack (more VMEM
+traffic than the rolls).
 """
 
 from __future__ import annotations
@@ -37,15 +45,14 @@ from ...config import NUM_SCALES
 
 B = 128   # candidates per program
 TR = 16   # DMA tile rows
-TC = 256  # DMA tile lanes (channels-last flat columns)
+TC = 128  # DMA tile lanes (one column block of a DoG plane)
 
 
 def _refine_kernel(
-    oy_ref, ox_ref, ry_ref, rl_ref, cnt_ref,       # scalar prefetch
-    pack_ref, meta_ref,                            # array inputs
+    os_ref, oy_ref, ox_ref, rl_ref, cnt_ref,       # scalar prefetch
+    dog_ref, meta_ref,                             # array inputs
     out_ref,                                       # (1, B, 8) output
-    tiles, cy0, cy1, cy2, sems,                    # scratch
-    *, matsel,
+    tiles, cy, sems,                               # scratch
 ):
     blk = pl.program_id(0)
     total = cnt_ref[0]
@@ -57,75 +64,57 @@ def _refine_kernel(
     @pl.when(blk * B < total)
     def _():
         _refine_body(
-            blk, oy_ref, ox_ref, ry_ref, rl_ref, cnt_ref, pack_ref,
-            meta_ref, out_ref, tiles, cy0, cy1, cy2, sems, matsel=matsel,
+            blk, os_ref, oy_ref, ox_ref, rl_ref, cnt_ref, dog_ref,
+            meta_ref, out_ref, tiles, cy, sems,
         )
 
 
 def _refine_body(
-    blk, oy_ref, ox_ref, ry_ref, rl_ref, cnt_ref, pack_ref,
-    meta_ref, out_ref, tiles, cy0, cy1, cy2, sems, *, matsel,
+    blk, os_ref, oy_ref, ox_ref, rl_ref, cnt_ref, dog_ref,
+    meta_ref, out_ref, tiles, cy, sems,
 ):
-    def copy(k):
+    def copy(k, di):
         i = blk * B + k
         oy = pl.multiple_of(oy_ref[i], 8)
         ox = pl.multiple_of(ox_ref[i], 128)
         return pltpu.make_async_copy(
-            pack_ref.at[pl.ds(oy, TR), pl.ds(ox, TC)],
-            tiles.at[k],
-            sems.at[k],
+            dog_ref.at[os_ref[i] + di, pl.ds(oy, TR), pl.ds(ox, TC)],
+            tiles.at[k, pl.ds(di * TR, TR), :],
+            sems.at[k, di],
         )
 
     for k in range(B):
-        copy(k).start()
+        for di in range(3):
+            copy(k, di).start()
+    for k in range(B):
+        i = blk * B + k
+        for di in range(3):
+            copy(k, di).wait()
+        rl = rl_ref[i]
+        # One dynamic lane roll per candidate over the stacked (48, 128)
+        # tile, then a static narrow to 32 lanes; row selection happens
+        # batched below (the per-candidate sublane roll would wrap across
+        # the three plane blocks).
+        t = pltpu.roll(tiles[k], (TC - rl) % TC, axis=1)
+        cy[k] = t[:, :32]
 
-    if matsel:
-        # Batched iota-mask selection instead of per-candidate rolls.
-        # Every needed cube value is ONE element of the candidate's
-        # (16, 256) tile; select it with an exact ==-mask multiply and a
-        # reduce (the sum touches exactly one nonzero, so this is bit-exact
-        # like the rolls). The whole block is processed as (B, 16, 256)
-        # vector ops — no 128x-unrolled dynamic rolls. (An unaligned 3-row
-        # DMA per candidate would avoid the row selection entirely, but
-        # Mosaic requires 8-aligned sublane slices of HBM.)
-        for k in range(B):
-            copy(k).wait()
-        t3 = tiles[...]                                        # (B, TR, TC)
-        ryv = meta_ref[0, :, 3:4].astype(jnp.int32)            # (B, 1)
-        rlv = meta_ref[0, :, 6:7].astype(jnp.int32)            # (B, 1)
-        riota = jax.lax.broadcasted_iota(jnp.int32, (B, TR), 1)
-        planes = []
-        for dy in range(3):
-            rowm = (riota == ryv + dy).astype(jnp.float32)     # (B, TR)
-            planes.append(jnp.sum(t3 * rowm[:, :, None], axis=1))  # (B, TC)
-        ciota = jax.lax.broadcasted_iota(jnp.int32, (B, TC), 1)
+    ryv = meta_ref[0, :, 3:4].astype(jnp.int32)           # (B, 1)
+    riota = jax.lax.broadcasted_iota(jnp.int32, (B, TR), 1)
+    planes = {}
+    for ds in (-1, 0, 1):
+        # Slice the candidate's plane block BEFORE masking: the masked
+        # reduce then works on (B, 16, 32) temps instead of (B, 48, 32) —
+        # the wide form put 9 live (B, 48, 32) f32 intermediates on the
+        # Mosaic stack and blew the 16.76M scoped-VMEM limit at compile.
+        tblk = cy[:, (ds + 1) * TR : (ds + 2) * TR, :]    # (B, TR, 32)
+        for dy in (-1, 0, 1):
+            rsel = (riota == ryv + 1 + dy)
+            planes[(ds, dy)] = jnp.sum(
+                tblk * rsel.astype(jnp.float32)[:, :, None], axis=1
+            )                                             # (B, 32)
 
-        def at(ds, dy, dx):
-            j = (1 + dx) * 8 + 1 + ds
-            cm = (ciota == rlv + j).astype(jnp.float32)
-            return jnp.sum(planes[dy + 1] * cm, axis=1, keepdims=True)
-    else:
-        for k in range(B):
-            i = blk * B + k
-            copy(k).wait()
-            ry = ry_ref[i]
-            rl = rl_ref[i]
-            # Lane-align first, then statically narrow to 32 lanes BEFORE
-            # the sublane roll: the rolls commute (independent axes), and
-            # rolling rows on (16, 32) instead of (16, 256) cuts the
-            # dynamic-roll data 8x on that axis (measured ~1.2x whole-kernel
-            # win at 1080p o0).
-            t = pltpu.roll(tiles[k], (TC - rl) % TC, axis=1)
-            t32 = pltpu.roll(t[:, :32], (TR - ry) % TR, axis=0)
-            cy0[k : k + 1] = t32[0:1]
-            cy1[k : k + 1] = t32[1:2]
-            cy2[k : k + 1] = t32[2:3]
-
-        rows = (cy0[...], cy1[...], cy2[...])
-
-        def at(ds, dy, dx):
-            j = (1 + dx) * 8 + 1 + ds
-            return rows[dy + 1][:, j : j + 1]                    # (B, 1)
+    def at(ds, dy, dx):
+        return planes[(ds, dy)][:, 1 + dx : 2 + dx]       # (B, 1)
 
     # ---- cudaSiftD.cu:1379-1428, identical expressions to the XLA twin
     # (ops.detect.refine_candidates) so both paths agree bit for bit. ----
@@ -201,8 +190,7 @@ def _refine_body(
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("edge_limit", "lowest_scale", "interpret", "matsel"),
+    jax.jit, static_argnames=("edge_limit", "lowest_scale", "interpret")
 )
 def refine_candidates_pallas(
     dog: jnp.ndarray,
@@ -211,17 +199,12 @@ def refine_candidates_pallas(
     edge_limit: float,
     lowest_scale: float,
     interpret: bool = False,
-    matsel: bool = True,
 ):
     """Pallas twin of ``ops.detect.refine_candidates``.
 
     Returns the same per-slot field tuple (xpos, ypos, scale, sharpness,
-    edgeness, valid) as (K,) arrays. ``dog`` is the (7, H, W) DoG stack.
-
-    ``matsel``: acquire each candidate's 3x3x3 cube by batched iota-mask
-    selection over the whole (B, 16, 256) tile block instead of two dynamic
-    rolls per candidate (bit-identical output; the rolls were ~60% of the
-    kernel at 1080p octave 0).
+    edgeness, valid) as (K,) arrays. ``dog`` is the (7, H, W) DoG stack,
+    consumed in its native planar layout.
     """
     nsc, h, w = dog.shape
     k_in = flat_idx.shape[0]
@@ -230,10 +213,21 @@ def refine_candidates_pallas(
         flat_idx = jnp.pad(flat_idx, (0, pad))
     k = flat_idx.shape[0]
 
-    # Channels-last flat pack (H, W*8): lane x*8 + c holds dog[c, y, x].
-    packed = jnp.pad(jnp.moveaxis(dog, 0, -1), ((0, 0), (0, 0), (0, 8 - nsc)))
-    packf = packed.reshape(h, w * 8)
-    packf = jnp.pad(packf, ((0, TR), (0, TC)))
+    # Overlapping-block column layout: block b holds source columns
+    # [126*b, 126*b + 128), so any 3-column window x-1..x+1 lies inside ONE
+    # 128-lane block (a plain 128-aligned layout fails when (x-1) % 128 >=
+    # 126 — the window would cross the tile edge and the cyclic roll wraps
+    # in wrong data). Built as an XLA concat of slices: a linear-bandwidth
+    # copy (~1.6% duplication), NOT the ~0.6 ms channels-last transpose
+    # relayout the previous pack needed.
+    span = TC - 2
+    nblk = max(1, -(-(w - 2) // span))
+    wpad = (nblk - 1) * span + TC
+    hp = max(h, TR)
+    dogp = jnp.pad(dog, ((0, 0), (0, hp - h), (0, wpad - w)))
+    dogp = jnp.concatenate(
+        [dogp[:, :, b * span : b * span + TC] for b in range(nblk)], axis=2
+    )
 
     s = flat_idx // (h * w)
     rem = flat_idx - s * (h * w)
@@ -241,11 +235,13 @@ def refine_candidates_pallas(
     x = rem - y * w
     y = jnp.clip(y, 1, h - 2)
     x = jnp.clip(x, 1, w - 2)
-    lx0 = (x - 1) * 8
-    ox = lx0 // 128 * 128
-    rl = lx0 - ox + s
-    oy = (y - 1) // 8 * 8
+    # oy is 8-aligned and clamped so the 16-row tile stays in bounds; the
+    # residual ry = (y-1) - oy stays in [0, 13].
+    oy = jnp.minimum((y - 1) // 8 * 8, hp - TR)
     ry = (y - 1) - oy
+    blk = (x - 1) // span
+    ox = blk * TC
+    rl = (x - 1) - blk * span
 
     meta = jnp.stack(
         [
@@ -255,7 +251,7 @@ def refine_candidates_pallas(
             ry.astype(jnp.float32),
             jnp.full((k,), edge_limit, jnp.float32),
             jnp.full((k,), lowest_scale, jnp.float32),
-            rl.astype(jnp.float32),
+            jnp.zeros((k,), jnp.float32),
             jnp.zeros((k,), jnp.float32),
         ],
         axis=-1,
@@ -271,19 +267,18 @@ def refine_candidates_pallas(
         ],
         out_specs=pl.BlockSpec((1, B, 8), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((B, TR, TC), jnp.float32),
-            pltpu.VMEM((B, 32), jnp.float32),
-            pltpu.VMEM((B, 32), jnp.float32),
-            pltpu.VMEM((B, 32), jnp.float32),
-            pltpu.SemaphoreType.DMA((B,)),
+            pltpu.VMEM((B, 3 * TR, TC), jnp.float32),
+            pltpu.VMEM((B, 3 * TR, 32), jnp.float32),
+            pltpu.SemaphoreType.DMA((B, 3)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_refine_kernel, matsel=matsel),
+        _refine_kernel,
         out_shape=jax.ShapeDtypeStruct((nb, B, 8), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(oy, ox, ry, rl, jnp.atleast_1d(jnp.asarray(count, jnp.int32)), packf, meta)
+    )(s, oy, ox, rl, jnp.atleast_1d(jnp.asarray(count, jnp.int32)),
+      dogp, meta)
     out = out.reshape(k, 8)[:k_in]
     return (
         out[:, 0], out[:, 1], out[:, 2], out[:, 3], out[:, 4],

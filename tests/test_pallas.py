@@ -168,16 +168,15 @@ def test_refine_kernel_matches_xla(rng):
     idx, cnt = compact_mask(mask, 256)
     ref = refine_candidates(dog, idx, cnt, 10.0, 0.0)
     assert int(cnt) > 4
-    for matsel in (True, False):
-        xp, yp, sc, sh, ed, valid = refine_candidates_pallas(
-            dog, idx, cnt, 10.0, 0.0, interpret=True, matsel=matsel)
-        np.testing.assert_array_equal(np.asarray(valid), np.asarray(ref.valid))
-        # exp2 differs by 1 ulp between the Mosaic/interpret and XLA
-        # lowerings; everything else is the same f32 arithmetic.
-        for ours, theirs in ((xp, ref.xpos), (yp, ref.ypos), (sc, ref.scale),
-                             (sh, ref.sharpness), (ed, ref.edgeness)):
-            np.testing.assert_allclose(
-                np.asarray(ours), np.asarray(theirs), rtol=3e-7, atol=0)
+    xp, yp, sc, sh, ed, valid = refine_candidates_pallas(
+        dog, idx, cnt, 10.0, 0.0, interpret=True)
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(ref.valid))
+    # exp2 differs by 1 ulp between the Mosaic/interpret and XLA
+    # lowerings; everything else is the same f32 arithmetic.
+    for ours, theirs in ((xp, ref.xpos), (yp, ref.ypos), (sc, ref.scale),
+                         (sh, ref.sharpness), (ed, ref.edgeness)):
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(theirs), rtol=3e-7, atol=0)
 
 
 def test_border_keypoints_vs_golden(rng):
