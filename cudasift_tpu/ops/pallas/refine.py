@@ -12,9 +12,10 @@ leading dim of the DMA source, so no channels-last transpose/pad pack is
 ever materialized — the pack form cost ~0.6 ms of XLA relayout per 1080p
 frame). Per candidate it:
 
-- DMAs three (16, 128) f32 tiles — rows oy..oy+15, the 128-lane column
-  block holding x-1..x+1, from planes s..s+2 — stacked into a (48, 128)
-  scratch tile; the 3*B DMAs for a block are issued up front and overlap;
+- DMAs one (3, 16, 128) f32 tile — rows oy..oy+15, the 128-lane column
+  block holding x-1..x+1, planes s..s+2 in a single strided copy (dim 0
+  of a 3-D source has no sublane-alignment constraint); the B DMAs for a
+  block are issued up front and overlap;
 - lane-rolls each tile once by the in-block x offset and statically
   narrows to 32 lanes (lane 1+dx then holds column x+dx exactly);
 - selects the nine (plane, row) combinations batched over the whole block
@@ -43,7 +44,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...config import NUM_SCALES
 
-B = 128   # candidates per program
+B = 64    # candidates per program (B=128's stacked tiles + unrolled roll
+          # temps overflow the 16M scoped-VMEM limit on 1080p programs)
 TR = 16   # DMA tile rows
 TC = 128  # DMA tile lanes (one column block of a DoG plane)
 
@@ -73,30 +75,32 @@ def _refine_body(
     blk, os_ref, oy_ref, ox_ref, rl_ref, cnt_ref, dog_ref,
     meta_ref, out_ref, tiles, cy, sems,
 ):
-    def copy(k, di):
+    def copy(k):
         i = blk * B + k
         oy = pl.multiple_of(oy_ref[i], 8)
         ox = pl.multiple_of(ox_ref[i], 128)
+        # ONE (3, 16, 128) DMA per candidate: dim 0 of a 3-D HBM source has
+        # no sublane-alignment constraint (only the trailing (sublane, lane)
+        # pair is tiled), so the three scale planes move in a single
+        # strided copy instead of three issues.
         return pltpu.make_async_copy(
-            dog_ref.at[os_ref[i] + di, pl.ds(oy, TR), pl.ds(ox, TC)],
-            tiles.at[k, pl.ds(di * TR, TR), :],
-            sems.at[k, di],
+            dog_ref.at[pl.ds(os_ref[i], 3), pl.ds(oy, TR), pl.ds(ox, TC)],
+            tiles.at[k],
+            sems.at[k],
         )
 
     for k in range(B):
-        for di in range(3):
-            copy(k, di).start()
+        copy(k).start()
     for k in range(B):
         i = blk * B + k
-        for di in range(3):
-            copy(k, di).wait()
+        copy(k).wait()
         rl = rl_ref[i]
-        # One dynamic lane roll per candidate over the stacked (48, 128)
-        # tile, then a static narrow to 32 lanes; row selection happens
-        # batched below (the per-candidate sublane roll would wrap across
-        # the three plane blocks).
-        t = pltpu.roll(tiles[k], (TC - rl) % TC, axis=1)
-        cy[k] = t[:, :32]
+        # One dynamic lane roll per candidate over the (3, 16, 128) tile,
+        # then a static narrow to 32 lanes; row selection happens batched
+        # below (rows are per-candidate because oy is 8-aligned while y is
+        # not).
+        t = pltpu.roll(tiles[k], (TC - rl) % TC, axis=2)
+        cy[k] = t[:, :, :32]
 
     ryv = meta_ref[0, :, 3:4].astype(jnp.int32)           # (B, 1)
     riota = jax.lax.broadcasted_iota(jnp.int32, (B, TR), 1)
@@ -106,7 +110,7 @@ def _refine_body(
         # reduce then works on (B, 16, 32) temps instead of (B, 48, 32) —
         # the wide form put 9 live (B, 48, 32) f32 intermediates on the
         # Mosaic stack and blew the 16.76M scoped-VMEM limit at compile.
-        tblk = cy[:, (ds + 1) * TR : (ds + 2) * TR, :]    # (B, TR, 32)
+        tblk = cy[:, ds + 1]                              # (B, TR, 32)
         for dy in (-1, 0, 1):
             rsel = (riota == ryv + 1 + dy)
             planes[(ds, dy)] = jnp.sum(
@@ -267,9 +271,9 @@ def refine_candidates_pallas(
         ],
         out_specs=pl.BlockSpec((1, B, 8), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((B, 3 * TR, TC), jnp.float32),
-            pltpu.VMEM((B, 3 * TR, 32), jnp.float32),
-            pltpu.SemaphoreType.DMA((B, 3)),
+            pltpu.VMEM((B, 3, TR, TC), jnp.float32),
+            pltpu.VMEM((B, 3, TR, 32), jnp.float32),
+            pltpu.SemaphoreType.DMA((B,)),
         ],
     )
     out = pl.pallas_call(
