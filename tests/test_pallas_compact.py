@@ -3,13 +3,20 @@
 The two must agree bit for bit: compaction order defines the deterministic
 keypoint order (our replacement for the reference's racy atomicInc appends,
 cudaSiftD.cu:1418-1428).
+
+Marked ``slow``: compact_mask_pallas is kept UNWIRED (the XLA rank search
+won its A/B, ROADMAP.md) — interpret-mode traces of a non-product kernel
+shouldn't tax the fast suite (~40 s of it on this 1-core host).
 """
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from cudasift_tpu.ops.detect import compact_mask
 from cudasift_tpu.ops.pallas.compact import compact_mask_pallas
+
+pytestmark = pytest.mark.slow
 
 
 def _check(mask, cap):
