@@ -57,7 +57,7 @@ def prefix(img, params: SiftParams, stop: str):
             outs.extend([fields["data"], fields["xpos"], valid])
             continue
         dog, mask = dog_and_mask_pallas(
-            base, kernels[o], params.thresh, params.edge_limit)
+            base, kernels[o], params.thresh, params.edge_limit, raw=True)
         if stop == "dog":
             outs.extend([dog, mask])
             continue
@@ -66,7 +66,8 @@ def prefix(img, params: SiftParams, stop: str):
             outs.extend([dog[0, 0, 0], flat_idx, count])
             continue
         xp, yp, sc, sh, ed, valid = refine_candidates_pallas(
-            dog, flat_idx, count, params.edge_limit, 0.0)
+            dog, flat_idx, count, params.edge_limit, 0.0,
+            logical_shape=base.shape)
         if stop == "refine":
             outs.extend([xp, yp, sc, sh, ed, valid, count])
             continue

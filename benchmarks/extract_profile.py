@@ -93,7 +93,7 @@ def main():
 
         def dogmask(p, base=base, kern=kern):
             return dog_and_mask_pallas(base + p, kern, params.thresh,
-                                       params.edge_limit)
+                                       params.edge_limit, raw=True)
 
         dog, mask = dogmask(jnp.float32(0))
         t_dog = device_time(dogmask, chain=16)
@@ -104,9 +104,10 @@ def main():
         idx, cnt = cmp_(jnp.float32(0))
         t_cmp = device_time(cmp_, chain=16)
 
-        def ref_(p, dog=dog, idx=idx, cnt=cnt):
+        def ref_(p, dog=dog, idx=idx, cnt=cnt, shape=base.shape):
             return refine_candidates_pallas(dog + p, idx, cnt,
-                                            params.edge_limit, 0.0)
+                                            params.edge_limit, 0.0,
+                                            logical_shape=shape)
 
         xp, yp, sc, sh, ed, valid = ref_(jnp.float32(0))
         t_ref = device_time(ref_, chain=16)

@@ -67,11 +67,22 @@ def _dog_kernel(k_ref, a_ref, b_ref, c_ref, thr_ref, dims_ref,
         acc_all = mm(bh, rh) + mm(bh, rl) + mm(bl, rh)     # (8*(th+2), wp)
         accs = [acc_all[s * (th + 2) : (s + 1) * (th + 2)] for s in range(NS)]
     else:
+        # The 9-tap Gaussians are symmetric (k[j] == k[8-j]), so the
+        # vertical pass runs on symmetric PAIR SUMS of input rows — the 4
+        # adds per output row are shared by all 8 scales: 4 + 8*(4 FMA +
+        # 1 mul) = 44 VPU ops/px instead of 8*9 = 72. (The horizontal pass
+        # gains nothing from symmetry: its inputs differ per scale, and
+        # 4 adds + 5 FMAs equals 9 FMAs on the VPU.)
+        pairs = [
+            rows[th - 5 + j : 2 * th - 3 + j, :]
+            + rows[th + 3 - j : 2 * th + 5 - j, :]
+            for j in range(R)
+        ]
         accs = []
         for s in range(NS):
-            acc = k_ref[s, 0] * rows[th - 5 : 2 * th - 3, :]
-            for j in range(1, 2 * R + 1):
-                acc = acc + k_ref[s, j] * rows[th - 5 + j : 2 * th - 3 + j, :]
+            acc = k_ref[s, R] * rows[th - 1 : 2 * th + 1, :]
+            for j in range(R):
+                acc = acc + k_ref[s, j] * pairs[j]
             accs.append(acc)
 
     hors = []
@@ -177,7 +188,7 @@ def _vert_band(kernels: jnp.ndarray, th: int) -> jnp.ndarray:
     return jnp.where(tap_ok, taps, 0.0).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "mxu_vert"))
+@functools.partial(jax.jit, static_argnames=("interpret", "mxu_vert", "raw"))
 def dog_and_mask_pallas(
     img: jnp.ndarray,
     kernels: jnp.ndarray,
@@ -185,12 +196,20 @@ def dog_and_mask_pallas(
     edge_limit: float = 10.0,
     interpret: bool = False,
     mxu_vert: bool = False,
+    raw: bool = False,
 ):
     """(dog (7, H, W) f32, mask (5, H, W) bool) for one octave.
 
     ``kernels``: (8, 9) Gaussian taps for this octave (PrepareLaplaceKernels,
     cudaSiftH.cu:439-458). The mask includes the dense edge-response
     prefilter (same semantics as ops.detect.extrema_mask with edge_limit).
+
+    ``raw=True`` skips the output slice: dog comes back physically padded to
+    (7, th*ceil(H/th), 128*ceil(W/128)) — rows beyond H and lanes beyond W
+    hold valid clamp-to-edge blur values (never garbage). This is the layout
+    ``refine_candidates_pallas(..., logical_shape=(H, W))`` DMAs from
+    directly; slicing to (H, W) first would materialize a full HBM copy of
+    the stack (~58 MB at 1080p) that no consumer needs.
     """
     h, w = img.shape
     # Narrow strips for wide images: the kernel's live working set (~38
@@ -200,7 +219,11 @@ def dog_and_mask_pallas(
     th = TH if w <= 2048 else 8
     nstrips = -(-h // th)
     hp = th * (nstrips + 2)
-    wp = ((w + 10 + 127) // 128) * 128
+    # dog is emitted at lane-rounded width: the tail lanes cost nothing
+    # extra when w is already a lane multiple (every bundled config) and
+    # carry clamp-padded values otherwise.
+    wr = ((w + 127) // 128) * 128
+    wp = ((wr + 10 + 127) // 128) * 128
     img_p = jnp.pad(
         img,
         ((th, hp - h - th), (5, wp - w - 5)),
@@ -225,20 +248,24 @@ def dog_and_mask_pallas(
             pl.BlockSpec((th, wp), lambda i, *_: (i + 2, 0)),   # rows block 2
         ],
         out_specs=(
-            pl.BlockSpec((7, th, w), lambda i, *_: (0, i, 0)),
-            pl.BlockSpec((5, th, w), lambda i, *_: (0, i, 0)),
+            pl.BlockSpec((7, th, wr), lambda i, *_: (0, i, 0)),
+            pl.BlockSpec((5, th, wr), lambda i, *_: (0, i, 0)),
         ),
     )
     dog, mask = pl.pallas_call(
         functools.partial(_kernel_entry, th=th, mxu_vert=mxu_vert),
         out_shape=(
-            jax.ShapeDtypeStruct((7, th * nstrips, w), jnp.float32),
-            jax.ShapeDtypeStruct((5, th * nstrips, w), jnp.float32),
+            jax.ShapeDtypeStruct((7, th * nstrips, wr), jnp.float32),
+            jax.ShapeDtypeStruct((5, th * nstrips, wr), jnp.float32),
         ),
         grid_spec=grid_spec,
         interpret=interpret,
     )(thr, dims, ktab, *band_args, img_p, img_p, img_p)
-    return dog[:, :h, :], mask[:, :h, :] != 0.0
+    # The interior test already zeroes mask lanes >= w, so the slice is pure
+    # shape bookkeeping for the compaction stage.
+    if raw:
+        return dog, mask[:, :h, :w] != 0.0
+    return dog[:, :h, :w], mask[:, :h, :w] != 0.0
 
 
 def _kernel_entry(thr_ref, dims_ref, k_ref, *refs, th, mxu_vert):

@@ -55,6 +55,7 @@ def _refine_kernel(
     dog_ref, meta_ref,                             # array inputs
     out_ref,                                       # (1, B, 8) output
     tiles, cy, sems,                               # scratch
+    *, lane_align,
 ):
     blk = pl.program_id(0)
     total = cnt_ref[0]
@@ -67,18 +68,18 @@ def _refine_kernel(
     def _():
         _refine_body(
             blk, os_ref, oy_ref, ox_ref, rl_ref, cnt_ref, dog_ref,
-            meta_ref, out_ref, tiles, cy, sems,
+            meta_ref, out_ref, tiles, cy, sems, lane_align,
         )
 
 
 def _refine_body(
     blk, os_ref, oy_ref, ox_ref, rl_ref, cnt_ref, dog_ref,
-    meta_ref, out_ref, tiles, cy, sems,
+    meta_ref, out_ref, tiles, cy, sems, lane_align,
 ):
     def copy(k):
         i = blk * B + k
         oy = pl.multiple_of(oy_ref[i], 8)
-        ox = pl.multiple_of(ox_ref[i], 128)
+        ox = pl.multiple_of(ox_ref[i], lane_align)
         # ONE (3, 16, 128) DMA per candidate: dim 0 of a 3-D HBM source has
         # no sublane-alignment constraint (only the trailing (sublane, lane)
         # pair is tiled), so the three scale planes move in a single
@@ -194,7 +195,9 @@ def _refine_body(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("edge_limit", "lowest_scale", "interpret")
+    jax.jit,
+    static_argnames=("edge_limit", "lowest_scale", "interpret",
+                     "logical_shape"),
 )
 def refine_candidates_pallas(
     dog: jnp.ndarray,
@@ -203,49 +206,80 @@ def refine_candidates_pallas(
     edge_limit: float,
     lowest_scale: float,
     interpret: bool = False,
+    logical_shape: tuple[int, int] | None = None,
 ):
     """Pallas twin of ``ops.detect.refine_candidates``.
 
     Returns the same per-slot field tuple (xpos, ypos, scale, sharpness,
     edgeness, valid) as (K,) arrays. ``dog`` is the (7, H, W) DoG stack,
     consumed in its native planar layout.
+
+    ``logical_shape=(h, w)``: ``dog`` is the RAW stencil output
+    (``dog_and_mask_pallas(..., raw=True)``) — physically (7, HP>=h, WR>=w)
+    with clamp-padded values beyond (h, w) — and ``flat_idx`` indexes the
+    logical (h, w) grid. DMA tiles are addressed with 8-aligned lane
+    offsets directly into that layout, so no padded/overlapping copy of the
+    stack is ever materialized (the copy is ~120 MB of HBM traffic at
+    1080p). An 8-aligned ``ox`` caps the in-tile column offset at
+    125 = 127 - 2, so the 3-column window x-1..x+1 never crosses the
+    128-lane tile edge — the wraparound that forces the overlapping-block
+    layout in the legacy path below cannot occur.
     """
-    nsc, h, w = dog.shape
+    nsc, hphys, wphys = dog.shape
     k_in = flat_idx.shape[0]
     pad = (-k_in) % B
     if pad:
         flat_idx = jnp.pad(flat_idx, (0, pad))
     k = flat_idx.shape[0]
 
-    # Overlapping-block column layout: block b holds source columns
-    # [126*b, 126*b + 128), so any 3-column window x-1..x+1 lies inside ONE
-    # 128-lane block (a plain 128-aligned layout fails when (x-1) % 128 >=
-    # 126 — the window would cross the tile edge and the cyclic roll wraps
-    # in wrong data). Built as an XLA concat of slices: a linear-bandwidth
-    # copy (~1.6% duplication), NOT the ~0.6 ms channels-last transpose
-    # relayout the previous pack needed.
-    span = TC - 2
-    nblk = max(1, -(-(w - 2) // span))
-    wpad = (nblk - 1) * span + TC
-    hp = max(h, TR)
-    dogp = jnp.pad(dog, ((0, 0), (0, hp - h), (0, wpad - w)))
-    dogp = jnp.concatenate(
-        [dogp[:, :, b * span : b * span + TC] for b in range(nblk)], axis=2
-    )
+    if logical_shape is not None:
+        h, w = logical_shape
+        assert hphys >= max(h, TR) and wphys >= max(w, TC) and wphys % TC == 0
+        dogp = dog
+        s = flat_idx // (h * w)
+        rem = flat_idx - s * (h * w)
+        y = rem // w
+        x = rem - y * w
+        y = jnp.clip(y, 1, h - 2)
+        x = jnp.clip(x, 1, w - 2)
+        oy = jnp.minimum((y - 1) // 8 * 8, hphys - TR)
+        ry = (y - 1) - oy
+        ox = jnp.minimum((x - 1) // 8 * 8, wphys - TC)
+        rl = (x - 1) - ox          # in [0, 125]: clamp slack < 128 - 2
+        lane_align = 8
+    else:
+        h, w = hphys, wphys
+        # Overlapping-block column layout: block b holds source columns
+        # [126*b, 126*b + 128), so any 3-column window x-1..x+1 lies inside
+        # ONE 128-lane block (a plain 128-aligned layout fails when
+        # (x-1) % 128 >= 126 — the window would cross the tile edge and the
+        # cyclic roll wraps in wrong data). Built as an XLA concat of
+        # slices: a linear-bandwidth copy (~1.6% duplication), NOT the
+        # ~0.6 ms channels-last transpose relayout the previous pack needed.
+        span = TC - 2
+        nblk = max(1, -(-(w - 2) // span))
+        wpad = (nblk - 1) * span + TC
+        hp = max(h, TR)
+        dogp = jnp.pad(dog, ((0, 0), (0, hp - h), (0, wpad - w)))
+        dogp = jnp.concatenate(
+            [dogp[:, :, b * span : b * span + TC] for b in range(nblk)],
+            axis=2,
+        )
 
-    s = flat_idx // (h * w)
-    rem = flat_idx - s * (h * w)
-    y = rem // w
-    x = rem - y * w
-    y = jnp.clip(y, 1, h - 2)
-    x = jnp.clip(x, 1, w - 2)
-    # oy is 8-aligned and clamped so the 16-row tile stays in bounds; the
-    # residual ry = (y-1) - oy stays in [0, 13].
-    oy = jnp.minimum((y - 1) // 8 * 8, hp - TR)
-    ry = (y - 1) - oy
-    blk = (x - 1) // span
-    ox = blk * TC
-    rl = (x - 1) - blk * span
+        s = flat_idx // (h * w)
+        rem = flat_idx - s * (h * w)
+        y = rem // w
+        x = rem - y * w
+        y = jnp.clip(y, 1, h - 2)
+        x = jnp.clip(x, 1, w - 2)
+        # oy is 8-aligned and clamped so the 16-row tile stays in bounds;
+        # the residual ry = (y-1) - oy stays in [0, 13].
+        oy = jnp.minimum((y - 1) // 8 * 8, hp - TR)
+        ry = (y - 1) - oy
+        blk = (x - 1) // span
+        ox = blk * TC
+        rl = (x - 1) - blk * span
+        lane_align = TC
 
     meta = jnp.stack(
         [
@@ -277,7 +311,7 @@ def refine_candidates_pallas(
         ],
     )
     out = pl.pallas_call(
-        _refine_kernel,
+        functools.partial(_refine_kernel, lane_align=lane_align),
         out_shape=jax.ShapeDtypeStruct((nb, B, 8), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,

@@ -123,13 +123,19 @@ def _extract_octave(
         from .ops.detect import compact_mask, Candidates
         from .ops.pallas.refine import refine_candidates_pallas
 
+        # raw=True: the DoG stack stays in the stencil's padded layout
+        # (rows/lanes beyond the image hold clamp-padded values) and the
+        # refine kernel DMAs from it directly with 8-aligned lane offsets —
+        # no sliced/overlap-blocked HBM copy in between (~120 MB of pure
+        # copy traffic at 1080p).
         dog, mask = dog_and_mask_pallas(
-            base, kernels, params.thresh, params.edge_limit
+            base, kernels, params.thresh, params.edge_limit, raw=True
         )
         flat_idx, count = compact_mask(mask, capacity)
         xp, yp, sc, sh, ed, valid = refine_candidates_pallas(
             dog, flat_idx, count, params.edge_limit,
             params.lowest_scale_effective / subsampling,
+            logical_shape=base.shape,
         )
         cands = Candidates(
             xpos=xp, ypos=yp, scale=sc, sharpness=sh, edgeness=ed,

@@ -179,6 +179,48 @@ def test_refine_kernel_matches_xla(rng):
             np.asarray(ours), np.asarray(theirs), rtol=3e-7, atol=0)
 
 
+def test_refine_padded_layout_matches_legacy(rng):
+    """The raw/padded-layout refine path (stencil-padded DoG + 8-aligned
+    lane DMA offsets, no overlap-blocked copy) must agree bit for bit with
+    the legacy sliced-DoG path for the same logical candidates — including
+    right-edge candidates where the 8-aligned ``ox`` clamp drives the
+    in-tile offset toward its 125 ceiling, and a width that is NOT a lane
+    multiple (clamp-padded tail lanes)."""
+    from cudasift_tpu.ops.detect import extrema_mask, compact_mask
+    from cudasift_tpu.ops.pallas.dog import dog_and_mask_pallas
+    from cudasift_tpu.ops.pallas.refine import refine_candidates_pallas
+    from cudasift_tpu.config import laplace_kernels
+
+    h, w = 80, 200                       # w % 128 != 0
+    img = make_image(rng, h=h, w=w)
+    kern = laplace_kernels(1)[0]
+    dog_raw, mask = dog_and_mask_pallas(
+        jnp.asarray(img), kern, 2.0, 10.0, interpret=True, raw=True)
+    dog, mask2 = dog_and_mask_pallas(
+        jnp.asarray(img), kern, 2.0, 10.0, interpret=True)
+    assert dog_raw.shape[1] >= h and dog_raw.shape[2] % 128 == 0
+    np.testing.assert_array_equal(np.asarray(dog_raw[:, :h, :w]),
+                                  np.asarray(dog))
+    np.testing.assert_array_equal(np.asarray(mask), np.asarray(mask2))
+
+    # Natural candidates plus hand-placed ones hugging every edge.
+    idx, cnt = compact_mask(mask, 64)
+    forced = [(s, y, x) for s in (0, 4) for y in (1, h - 2)
+              for x in (1, w - 3, w - 2)]
+    extra = jnp.asarray([s * h * w + y * w + x for s, y, x in forced],
+                        jnp.int32)
+    n = int(cnt)
+    idx = jnp.concatenate([idx[:n], extra, idx[n:]])[:64]
+    cnt = jnp.minimum(cnt + len(forced), 64)
+
+    legacy = refine_candidates_pallas(dog, idx, cnt, 10.0, 0.0,
+                                      interpret=True)
+    padded = refine_candidates_pallas(dog_raw, idx, cnt, 10.0, 0.0,
+                                      interpret=True, logical_shape=(h, w))
+    for a, b in zip(padded, legacy):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_border_keypoints_vs_golden(rng):
     """Quantifies the documented border deviation: within 7 px of the image
     edge the Pallas kernels clamp the integer tap index while keeping the

@@ -64,6 +64,44 @@ def test_refine_pallas_bit_agreement_on_chip(left_image):
         )
 
 
+def test_refine_padded_layout_bit_agreement_on_chip(left_image):
+    """The padded-layout path (raw stencil DoG + 8-aligned lane DMA
+    offsets) vs the XLA twin on the same candidates. Interpret mode cannot
+    validate Mosaic's DMA-offset alignment rules — only the chip can."""
+    from cudasift_tpu.ops import convolve
+    from cudasift_tpu.ops.detect import compact_mask, refine_candidates
+    from cudasift_tpu.ops.pallas.dog import dog_and_mask_pallas
+    from cudasift_tpu.ops.pallas.refine import refine_candidates_pallas
+
+    params = SiftParams(num_octaves=3, thresh=2.0)
+    img = jnp.asarray(left_image[:384, :512])
+    h, w = img.shape
+    low = convolve.low_pass(img, 1.0)
+    kern = params.laplace_kernels[0]
+    dog_raw, mask = dog_and_mask_pallas(low, kern, 2.0, 10.0, raw=True)
+    idx, cnt = compact_mask(mask, 1024)
+    # Force right-edge candidates: the 8-aligned ox clamp drives the
+    # in-tile lane offset toward its 125 ceiling there.
+    forced = [(s, y, x) for s in (0, 4) for y in (1, h - 2)
+              for x in (w - 3, w - 2)]
+    extra = jnp.asarray([s * h * w + y * w + x for s, y, x in forced],
+                        jnp.int32)
+    n = int(cnt)
+    idx = jnp.concatenate([idx[:n], extra, idx[n:]])[:1024]
+    cnt = jnp.minimum(cnt + len(forced), 1024)
+    assert int(cnt) > 50
+
+    # XLA twin on the pallas-stencil DoG values (sliced view) so the
+    # comparison isolates the refine kernels, not the stencils.
+    ref = refine_candidates(dog_raw[:, :h, :w], idx, cnt, 10.0, 0.0)
+    out = refine_candidates_pallas(dog_raw, idx, cnt, 10.0, 0.0,
+                                   logical_shape=(h, w))
+    for a, b, name in zip(ref, out, ["x", "y", "sc", "sh", "ed", "valid"]):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=name
+        )
+
+
 def test_dog_stencil_mask_agreement_on_chip(left_image):
     from cudasift_tpu.ops import convolve
     from cudasift_tpu.ops.detect import extrema_mask
