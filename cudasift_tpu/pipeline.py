@@ -137,9 +137,20 @@ def _extract_octave(
             params.lowest_scale_effective / subsampling,
             logical_shape=base.shape,
         )
+        # Stable-compact the refine survivors before orientation/descriptor:
+        # the fused kernel is count-gated, so dropping the ~15-25% of
+        # candidates refine invalidates (edge test, lowest_scale) here saves
+        # whole kernel blocks downstream for one cheap 5-field gather. Raster
+        # order is preserved, so the final point set and order are identical.
+        f0, live_count = _compact(
+            {"xpos": xp, "ypos": yp, "scale": sc, "sharpness": sh,
+             "edgeness": ed},
+            valid, capacity,
+        )
         cands = Candidates(
-            xpos=xp, ypos=yp, scale=sc, sharpness=sh, edgeness=ed,
-            valid=valid, count=count,
+            xpos=f0["xpos"], ypos=f0["ypos"], scale=f0["scale"],
+            sharpness=f0["sharpness"], edgeness=f0["edgeness"],
+            valid=jnp.arange(capacity) < live_count, count=live_count,
         )
     else:
         blur = convolve.blur_multi(base, kernels)

@@ -169,3 +169,56 @@ def test_throughput_batch_matches_single(left_image):
 
     with pytest.raises(ValueError):
         extract_sift_throughput(frames[0], params)
+
+
+@pytest.mark.slow
+def test_fused_pipeline_branch_interpret_matches_xla(left_image, monkeypatch):
+    """Drives the TPU fused pipeline BRANCH (stencil -> compact -> refine ->
+    pre-describe compaction -> fused orient+desc -> dup/merge glue) on CPU by
+    forcing _on_tpu and interpret-mode kernels. The on-chip gate
+    (test_tpu.py::test_fused_vs_split_pipeline_on_chip) validates Mosaic
+    lowering; this validates the same glue when no chip is reachable.
+    Expected agreement: same keypoint set as the XLA path within the
+    measured fused-kernel envelope (set overlap >= 0.97)."""
+    import functools
+    import jax
+
+    import cudasift_tpu.pipeline as pl
+    from cudasift_tpu.ops.pallas import dog as dogmod
+    from cudasift_tpu.ops.pallas import refine as refmod
+    from cudasift_tpu.ops.pallas import orient_desc as odmod
+
+    monkeypatch.setattr(pl, "_on_tpu", lambda: True)
+    for mod, name in ((dogmod, "dog_and_mask_pallas"),
+                      (refmod, "refine_candidates_pallas"),
+                      (odmod, "orient_and_describe_pallas")):
+        monkeypatch.setattr(mod, name,
+                            functools.partial(getattr(mod, name),
+                                              interpret=True))
+
+    img = jnp.asarray(left_image[300:492, 600:856])      # 192x256 facade crop
+    params = SiftParams(num_octaves=1, thresh=2.0, max_pts=1024)
+    fused = jax.jit(pl._extract_sift_traced,
+                    static_argnames="params")(img, params)
+    monkeypatch.setattr(pl, "_on_tpu", lambda: False)
+    ref = jax.jit(pl._extract_sift_traced,
+                  static_argnames="params")(img, params)
+
+    nf, ns = int(fused.num_pts), int(ref.num_pts)
+    assert nf > 30 and ns > 30
+
+    def keyset(d, n):
+        return {
+            (round(float(x), 2), round(float(y), 2), round(float(s), 2))
+            for x, y, s in zip(np.asarray(d.xpos)[:n], np.asarray(d.ypos)[:n],
+                               np.asarray(d.scale)[:n])
+        }
+
+    kf, ks = keyset(fused, nf), keyset(ref, ns)
+    overlap = len(kf & ks) / max(len(kf), len(ks))
+    assert overlap >= 0.97, (overlap, nf, ns)
+    # Descriptors finite + normalized on live slots.
+    df = np.asarray(fused.data)[:nf]
+    assert np.isfinite(df).all()
+    norms = np.linalg.norm(df, axis=1)
+    np.testing.assert_allclose(norms[norms > 0], 1.0, atol=2e-2)
