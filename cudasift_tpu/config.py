@@ -124,6 +124,11 @@ class SiftParams:
     # (tests/test_envelope.py guards the level) — so it suits throughput-
     # over-precision workloads only and is OFF by default.
     fast_gradients: bool = False
+    # Refine DMAs tiles straight out of the stencil's padded DoG layout with
+    # 8-aligned lane offsets (no sliced/overlap-blocked HBM copy). Escape
+    # hatch: set False to rebuild the legacy overlapping-block copy if a
+    # Mosaic version rejects sub-128 lane offsets in DMA source slices.
+    refine_padded_layout: bool = True
 
     def octave_shapes(self, height: int, width: int) -> tuple[tuple[int, int], ...]:
         """Image shape per octave, index 0 = full working resolution.

@@ -128,14 +128,15 @@ def _extract_octave(
         # refine kernel DMAs from it directly with 8-aligned lane offsets —
         # no sliced/overlap-blocked HBM copy in between (~120 MB of pure
         # copy traffic at 1080p).
+        raw = params.refine_padded_layout
         dog, mask = dog_and_mask_pallas(
-            base, kernels, params.thresh, params.edge_limit, raw=True
+            base, kernels, params.thresh, params.edge_limit, raw=raw
         )
         flat_idx, count = compact_mask(mask, capacity)
         xp, yp, sc, sh, ed, valid = refine_candidates_pallas(
             dog, flat_idx, count, params.edge_limit,
             params.lowest_scale_effective / subsampling,
-            logical_shape=base.shape,
+            logical_shape=base.shape if raw else None,
         )
         # Stable-compact the refine survivors before orientation/descriptor:
         # the fused kernel is count-gated, so dropping the ~15-25% of
