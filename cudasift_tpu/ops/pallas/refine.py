@@ -54,8 +54,8 @@ def _refine_kernel(
     os_ref, oy_ref, ox_ref, rl_ref, cnt_ref,       # scalar prefetch
     dog_ref, meta_ref,                             # array inputs
     out_ref,                                       # (1, B, 8) output
-    tiles, cy, sems,                               # scratch
-    *, lane_align,
+    *scratch,                                      # tiles, cy, sems[, pair]
+    lane_align, pair,
 ):
     blk = pl.program_id(0)
     total = cnt_ref[0]
@@ -68,40 +68,65 @@ def _refine_kernel(
     def _():
         _refine_body(
             blk, os_ref, oy_ref, ox_ref, rl_ref, cnt_ref, dog_ref,
-            meta_ref, out_ref, tiles, cy, sems, lane_align,
+            meta_ref, out_ref, scratch, lane_align, pair,
         )
 
 
 def _refine_body(
     blk, os_ref, oy_ref, ox_ref, rl_ref, cnt_ref, dog_ref,
-    meta_ref, out_ref, tiles, cy, sems, lane_align,
+    meta_ref, out_ref, scratch, lane_align, pair,
 ):
-    def copy(k):
+    if pair:
+        tiles, cy, sems, tiles2, sems2 = scratch
+    else:
+        tiles, cy, sems = scratch
+
+    def copy(k, base, dst, sem):
         i = blk * B + k
         oy = pl.multiple_of(oy_ref[i], 8)
-        ox = pl.multiple_of(ox_ref[i], lane_align)
+        ox = pl.multiple_of(ox_ref[i] + base, lane_align)
         # ONE (3, 16, 128) DMA per candidate: dim 0 of a 3-D HBM source has
         # no sublane-alignment constraint (only the trailing (sublane, lane)
         # pair is tiled), so the three scale planes move in a single
         # strided copy instead of three issues.
         return pltpu.make_async_copy(
             dog_ref.at[pl.ds(os_ref[i], 3), pl.ds(oy, TR), pl.ds(ox, TC)],
-            tiles.at[k],
-            sems.at[k],
+            dst.at[k],
+            sem.at[k],
         )
 
     for k in range(B):
-        copy(k).start()
+        copy(k, 0, tiles, sems).start()
+        if pair:
+            # 128-aligned fallback mode: when the 3-column window crosses
+            # the lane-tile edge (rl > 125, ~1.6% of candidates), also
+            # fetch the next 128-lane block.
+            @pl.when(rl_ref[blk * B + k] > TC - 3)
+            def _(k=k):
+                copy(k, TC, tiles2, sems2).start()
+
     for k in range(B):
         i = blk * B + k
-        copy(k).wait()
+        copy(k, 0, tiles, sems).wait()
         rl = rl_ref[i]
         # One dynamic lane roll per candidate over the (3, 16, 128) tile,
         # then a static narrow to 32 lanes; row selection happens batched
         # below (rows are per-candidate because oy is 8-aligned while y is
         # not).
-        t = pltpu.roll(tiles[k], (TC - rl) % TC, axis=2)
+        shift = (TC - rl) % TC
+        t = pltpu.roll(tiles[k], shift, axis=2)
         cy[k] = t[:, :, :32]
+        if pair:
+            @pl.when(rl > TC - 3)
+            def _(k=k, rl=rl, shift=shift, t=t):
+                copy(k, TC, tiles2, sems2).wait()
+                # Lane c needs col ox+rl+c; for rl+c >= 128 that lives in
+                # the second block at lane rl+c-128 = lane c of the SAME
+                # cyclic roll applied to tiles2.
+                t1 = pltpu.roll(tiles2[k], shift, axis=2)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (3, TR, 32), 2)
+                cy[k] = jnp.where(lane + rl >= TC, t1[:, :, :32],
+                                  t[:, :, :32])
 
     ryv = meta_ref[0, :, 3:4].astype(jnp.int32)           # (B, 1)
     riota = jax.lax.broadcasted_iota(jnp.int32, (B, TR), 1)
@@ -197,7 +222,7 @@ def _refine_body(
 @functools.partial(
     jax.jit,
     static_argnames=("edge_limit", "lowest_scale", "interpret",
-                     "logical_shape"),
+                     "logical_shape", "lane8"),
 )
 def refine_candidates_pallas(
     dog: jnp.ndarray,
@@ -207,6 +232,7 @@ def refine_candidates_pallas(
     lowest_scale: float,
     interpret: bool = False,
     logical_shape: tuple[int, int] | None = None,
+    lane8: bool = True,
 ):
     """Pallas twin of ``ops.detect.refine_candidates``.
 
@@ -244,9 +270,18 @@ def refine_candidates_pallas(
         x = jnp.clip(x, 1, w - 2)
         oy = jnp.minimum((y - 1) // 8 * 8, hphys - TR)
         ry = (y - 1) - oy
-        ox = jnp.minimum((x - 1) // 8 * 8, wphys - TC)
-        rl = (x - 1) - ox          # in [0, 125]: clamp slack < 128 - 2
-        lane_align = 8
+        if lane8:
+            ox = jnp.minimum((x - 1) // 8 * 8, wphys - TC)
+            rl = (x - 1) - ox      # in [0, 125]: clamp slack < 128 - 2
+            lane_align, pair = 8, False
+        else:
+            # 128-aligned fallback: rl reaches 127, so windows with
+            # rl > 125 fetch the next lane block too (kernel `pair` mode).
+            # Note wphys-TC clamping keeps rl <= 125 exactly when the next
+            # block would not exist, so the pair fetch is always in-bounds.
+            ox = jnp.minimum((x - 1) // TC * TC, wphys - TC)
+            rl = (x - 1) - ox      # in [0, 127]
+            lane_align, pair = TC, True
     else:
         h, w = hphys, wphys
         # Overlapping-block column layout: block b holds source columns
@@ -279,7 +314,7 @@ def refine_candidates_pallas(
         blk = (x - 1) // span
         ox = blk * TC
         rl = (x - 1) - blk * span
-        lane_align = TC
+        lane_align, pair = TC, False
 
     meta = jnp.stack(
         [
@@ -308,10 +343,13 @@ def refine_candidates_pallas(
             pltpu.VMEM((B, 3, TR, TC), jnp.float32),
             pltpu.VMEM((B, 3, TR, 32), jnp.float32),
             pltpu.SemaphoreType.DMA((B,)),
-        ],
+        ] + ([
+            pltpu.VMEM((B, 3, TR, TC), jnp.float32),
+            pltpu.SemaphoreType.DMA((B,)),
+        ] if pair else []),
     )
     out = pl.pallas_call(
-        functools.partial(_refine_kernel, lane_align=lane_align),
+        functools.partial(_refine_kernel, lane_align=lane_align, pair=pair),
         out_shape=jax.ShapeDtypeStruct((nb, B, 8), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,

@@ -203,10 +203,12 @@ def test_refine_padded_layout_matches_legacy(rng):
                                   np.asarray(dog))
     np.testing.assert_array_equal(np.asarray(mask), np.asarray(mask2))
 
-    # Natural candidates plus hand-placed ones hugging every edge.
+    # Natural candidates plus hand-placed ones hugging every edge, and at
+    # x = 127/128 where the 3-column window crosses the first 128-lane
+    # boundary (the wrap case the lane8=False pair fetch must handle).
     idx, cnt = compact_mask(mask, 64)
     forced = [(s, y, x) for s in (0, 4) for y in (1, h - 2)
-              for x in (1, w - 3, w - 2)]
+              for x in (1, 127, 128, w - 3, w - 2)]
     extra = jnp.asarray([s * h * w + y * w + x for s, y, x in forced],
                         jnp.int32)
     n = int(cnt)
@@ -218,6 +220,13 @@ def test_refine_padded_layout_matches_legacy(rng):
     padded = refine_candidates_pallas(dog_raw, idx, cnt, 10.0, 0.0,
                                       interpret=True, logical_shape=(h, w))
     for a, b in zip(padded, legacy):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # lane8=False fallback (128-aligned offsets + conditional pair fetch):
+    # the forced x = w-3/w-2 candidates exercise rl > 125 wrap handling.
+    paired = refine_candidates_pallas(dog_raw, idx, cnt, 10.0, 0.0,
+                                      interpret=True, logical_shape=(h, w),
+                                      lane8=False)
+    for a, b in zip(paired, legacy):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
