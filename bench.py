@@ -198,21 +198,8 @@ def main():
             max_ambiguity=0.8, thresh=5.0)
         _, nfit, errq = cs.improve_homography(e1, Hq, 5, 0.0, 0.80, 3.0)
 
-        def ref_style(d):
-            n = int(d.num_pts)
-            xs, ys, sc = (np.asarray(d.xpos)[:n], np.asarray(d.ypos)[:n],
-                          np.asarray(d.scale)[:n])
-            seen, dup = set(), np.zeros(n, bool)
-            for i in range(n):
-                key = (xs[i], ys[i], sc[i])
-                dup[i] = key in seen
-                seen.add(key)
-            k = 0
-            while k < n and dup[n - 1 - k]:
-                k += 1
-            return n - k
-
-        r1, r2 = ref_style(e1), ref_style(e2)
+        r1 = cs.ref_style_num_pts(e1)
+        r2 = cs.ref_style_num_pts(e2)
         nf_ref = int((np.asarray(errq)[:r1] < 3.0).sum())
         rate = 100.0 * nf_ref / min(r1, r2)
         results["numfit_thresh3"] = float(nf_ref)
@@ -251,8 +238,8 @@ def _run_with_retries():
             rc = -1
         if rc == 0:
             return 0
-        log(f"bench attempt {attempt + 1} failed rc={rc}; retrying in a "
-            "fresh process")
+        msg = f"bench attempt {attempt + 1} failed rc={rc}"
+        log(msg + ("; retrying in a fresh process" if attempt == 0 else ""))
     return 1
 
 

@@ -36,7 +36,8 @@ def device_info(dev_num: int = 0) -> None:
 
 
 from .config import SiftParams, MatchParams, HomographyParams
-from .sift_data import SiftData, init_sift_data, print_sift_data
+from .sift_data import (SiftData, init_sift_data, print_sift_data,
+                        ref_style_num_pts)
 from .pipeline import extract_sift, extract_sift_throughput
 from .ops.match import match_sift_data, match_descriptors
 from .ops.homography import find_homography, improve_homography
@@ -49,6 +50,7 @@ __all__ = [
     "SiftData",
     "init_sift_data",
     "print_sift_data",
+    "ref_style_num_pts",
     "extract_sift",
     "extract_sift_throughput",
     "match_sift_data",

@@ -171,9 +171,14 @@ class SiftParams:
         schedule is not simply 4**octave.
         """
         voxels = height * width * NUM_SCALES
-        mult = (1, 4, 8, 16, 32)[min(octave, 4)]
+        # Density keeps rising ~3x/octave past the measured range, so the
+        # schedule keeps growing (and the per-voxel ceiling loosens) for
+        # octave >= 5 — deep pyramids (num_octaves >= 7) must not re-create
+        # the silent saturation this schedule exists to prevent. Deep
+        # octaves are tiny, so the extra slots cost nothing.
+        mult = (1, 4, 8, 16, 32)[min(octave, 4)] * 3 ** max(0, octave - 4)
         cap = int(voxels * self.candidate_fraction * mult)
-        cap = min(cap, voxels // 48)
+        cap = min(cap, voxels // (48 if octave < 5 else 12))
         cap = max(self.min_candidates, cap)
         cap = min(cap, self.max_pts)
         # Round up to a lane multiple for friendlier TPU layouts.

@@ -294,7 +294,12 @@ def refine_candidates_pallas(
         span = TC - 2
         nblk = max(1, -(-(w - 2) // span))
         wpad = (nblk - 1) * span + TC
-        hp = max(h, TR)
+        # Rows padded to a sublane multiple: the oy clamp below saturates at
+        # hp - TR, which must itself be 8-aligned or the kernel's
+        # multiple_of(oy, 8) promise (and Mosaic's sublane DMA-offset rule)
+        # is violated for bottom-edge candidates on octaves whose height is
+        # not a multiple of 8 (e.g. h=135, 67 in a 1080p pyramid).
+        hp = max(-(-h // 8) * 8, TR)
         dogp = jnp.pad(dog, ((0, 0), (0, hp - h), (0, wpad - w)))
         dogp = jnp.concatenate(
             [dogp[:, :, b * span : b * span + TC] for b in range(nblk)],

@@ -85,3 +85,30 @@ def print_sift_data(data: SiftData, max_points: int | None = None) -> None:
             print(prefix + row)
     print(f"Number of available points: {n}")
     print(f"Number of allocated points: {data.max_pts}")
+
+
+def ref_style_num_pts(data: SiftData) -> int:
+    """numPts as the reference reports it.
+
+    The reference under-reports: it reads d_PointCounter[2*numOctaves]
+    (cudaSiftH.cu:115), which excludes the full-resolution octave's
+    second-orientation duplicates even though their descriptors are
+    extracted (cudaSiftD.cu:1039-1053). We report every extracted point in
+    ``num_pts`` (documented deviation, ROADMAP.md); this trims the trailing
+    duplicate block to reproduce the reference's accounting — the basis for
+    like-for-like comparison against the README tables (README.md:111-134).
+    """
+    n = int(data.num_pts)
+    xs = np.asarray(data.xpos)[:n]
+    ys = np.asarray(data.ypos)[:n]
+    sc = np.asarray(data.scale)[:n]
+    seen: set = set()
+    is_dup = np.zeros(n, bool)
+    for i in range(n):
+        key = (xs[i], ys[i], sc[i])
+        is_dup[i] = key in seen
+        seen.add(key)
+    k = 0
+    while k < n and is_dup[n - 1 - k]:
+        k += 1
+    return n - k

@@ -37,25 +37,9 @@ import cudasift_tpu as cs
 from cudasift_tpu import SiftParams
 
 
-def ref_style_numpts(d):
-    """numPts as the reference reports it: trim the trailing block of
-    full-res-octave second-orientation duplicates (cudaSiftH.cu:115)."""
-    n = int(d.num_pts)
-    xs = np.asarray(d.xpos)[:n]
-    ys = np.asarray(d.ypos)[:n]
-    sc = np.asarray(d.scale)[:n]
-    seen = set()
-    is_dup = np.zeros(n, bool)
-    for i in range(n):
-        key = (xs[i], ys[i], sc[i])
-        if key in seen:
-            is_dup[i] = True
-        else:
-            seen.add(key)
-    k = 0
-    while k < n and is_dup[n - 1 - k]:
-        k += 1
-    return n - k
+# numPts as the reference reports it (trailing duplicate-block trim) — the
+# shared library helper so bench.py and this test can't drift apart.
+ref_style_numpts = cs.ref_style_num_pts
 
 
 @pytest.fixture(scope="module")

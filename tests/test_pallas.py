@@ -211,8 +211,9 @@ def test_refine_padded_layout_matches_legacy(rng):
               for x in (1, 127, 128, w - 3, w - 2)]
     extra = jnp.asarray([s * h * w + y * w + x for s, y, x in forced],
                         jnp.int32)
-    n = int(cnt)
-    idx = jnp.concatenate([idx[:n], extra, idx[n:]])[:64]
+    # Forced entries first: capacity saturation by natural candidates must
+    # never silently drop the edge/wrap coverage.
+    idx = jnp.concatenate([extra, idx])[:64]
     cnt = jnp.minimum(cnt + len(forced), 64)
 
     legacy = refine_candidates_pallas(dog, idx, cnt, 10.0, 0.0,

@@ -86,8 +86,9 @@ def test_refine_padded_layout_bit_agreement_on_chip(left_image):
               for x in (w - 3, w - 2)]
     extra = jnp.asarray([s * h * w + y * w + x for s, y, x in forced],
                         jnp.int32)
-    n = int(cnt)
-    idx = jnp.concatenate([idx[:n], extra, idx[n:]])[:1024]
+    # Forced entries go FIRST so natural candidates saturating the capacity
+    # can never silently truncate the edge coverage this test exists for.
+    idx = jnp.concatenate([extra, idx])[:1024]
     cnt = jnp.minimum(cnt + len(forced), 1024)
     assert int(cnt) > 50
 
