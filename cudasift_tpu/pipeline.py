@@ -20,7 +20,7 @@ descriptors; we include every extracted point.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +36,31 @@ from .sift_data import SiftData
 
 def _on_tpu() -> bool:
     return jax.default_backend() not in ("cpu",)
+
+
+@lru_cache(maxsize=1)
+def _padded_dma_supported() -> bool:
+    """Whether this backend's Mosaic accepts the padded-layout refine DMA
+    (8-aligned lane offsets into the raw stencil DoG).
+
+    The rule is undocumented and only checkable by compiling on the real
+    chip; probing once per process (tiny kernel, seconds) means the
+    pipeline, the benchmark and the driver's compile-check all self-heal to
+    the legacy copy path on a Mosaic version that rejects it instead of
+    failing to compile outright."""
+    import numpy as np
+
+    from .ops.pallas.refine import refine_candidates_pallas
+
+    try:
+        dog = jnp.zeros((7, 16, 128), jnp.float32)
+        idx = jnp.zeros((64,), jnp.int32).at[0].set(1 * 8 + 3)
+        out = refine_candidates_pallas(
+            dog, idx, jnp.int32(1), 10.0, 0.0, logical_shape=(8, 8)
+        )
+        return bool(np.isfinite(np.asarray(out[0])).all())
+    except Exception:  # Mosaic lowering/compile rejection
+        return False
 
 
 def _orientations(base, xpos, ypos, scale, use_pallas, count=None):
@@ -329,6 +354,22 @@ def _extract_batch_jit(images, params: SiftParams):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
 
 
+def _effective_params(params: SiftParams) -> SiftParams:
+    """Drop to the legacy refine layout when the backend's Mosaic rejects
+    the padded-layout DMA (probed once per process, see
+    _padded_dma_supported). Trace-time decision: params are jit-static."""
+    if (
+        params.use_pallas
+        and params.refine_padded_layout
+        and _on_tpu()
+        and not _padded_dma_supported()
+    ):
+        import dataclasses
+
+        params = dataclasses.replace(params, refine_padded_layout=False)
+    return params
+
+
 def extract_sift_throughput(
     images, params: SiftParams = SiftParams()
 ) -> SiftData:
@@ -349,7 +390,7 @@ def extract_sift_throughput(
     images = jnp.asarray(images, jnp.float32)
     if images.ndim != 3:
         raise ValueError(f"expected (N, H, W) frames, got {images.shape}")
-    return _extract_batch_jit(images, params)
+    return _extract_batch_jit(images, _effective_params(params))
 
 
 def extract_sift(image, params: SiftParams = SiftParams()) -> SiftData:
@@ -361,4 +402,4 @@ def extract_sift(image, params: SiftParams = SiftParams()) -> SiftData:
     image = jnp.asarray(image, jnp.float32)
     if image.ndim != 2:
         raise ValueError(f"expected a 2-D grayscale image, got {image.shape}")
-    return _extract_sift_jit(image, params)
+    return _extract_sift_jit(image, _effective_params(params))
