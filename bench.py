@@ -38,6 +38,8 @@ def device_time(traced_fn, chain=8, reps=7):
     import jax
     import jax.numpy as jnp
 
+    from cudasift_tpu.utils.jit import tpu_compiler_options
+
     def make(n):
         def g():
             acc = jnp.float32(0)
@@ -50,7 +52,9 @@ def device_time(traced_fn, chain=8, reps=7):
                     acc = acc + leaf.reshape(-1)[0].astype(jnp.float32)
             return acc
 
-        return jax.jit(g)
+        # The chain jit is the OUTERMOST compile here, so the TPU
+        # scoped-vmem limit raise must ride on it (inner jits are inlined).
+        return jax.jit(g, compiler_options=tpu_compiler_options())
 
     def wall(f):
         float(f())  # compile + warm

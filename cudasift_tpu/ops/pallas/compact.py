@@ -43,6 +43,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...utils.jit import tpu_jit
+
 B = 128     # slots per program
 RADIX = 512
 
@@ -110,7 +112,7 @@ def _compact_kernel(region_ref, cnt_ref,           # scalar prefetch
         out_ref[0] = idx
 
 
-@functools.partial(jax.jit, static_argnames=("capacity", "interpret"))
+@tpu_jit(static_argnames=("capacity", "interpret"))
 def compact_mask_pallas(
     mask: jnp.ndarray, capacity: int, interpret: bool = False
 ):

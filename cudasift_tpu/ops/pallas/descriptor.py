@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...utils.jit import tpu_jit
+
 B = 8          # keypoints per program
 PR = 56        # DMA patch rows (48 needed + 8 for sublane-aligned origins)
 PWR = 256      # DMA patch cols (span + 128 for lane-aligned origins)
@@ -171,7 +173,7 @@ def _desc_one(k, oy_ref, ox_ref, kpf_ref, out_ref, patch, sems, copy):
         out_ref[0, :, k] = (t1n * n2)[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@tpu_jit(static_argnames=("interpret",))
 def extract_descriptors_pallas(
     img: jnp.ndarray,
     xpos: jnp.ndarray,

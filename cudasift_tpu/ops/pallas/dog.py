@@ -24,6 +24,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...utils.jit import tpu_jit
+
 TH = 16        # output rows per program (8 for wide images, see wrapper)
 R = 4          # Gaussian radius
 NS = 8         # Gaussian scales per octave
@@ -188,7 +190,7 @@ def _vert_band(kernels: jnp.ndarray, th: int) -> jnp.ndarray:
     return jnp.where(tap_ok, taps, 0.0).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "mxu_vert", "raw"))
+@tpu_jit(static_argnames=("interpret", "mxu_vert", "raw"))
 def dog_and_mask_pallas(
     img: jnp.ndarray,
     kernels: jnp.ndarray,

@@ -20,6 +20,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...utils.jit import tpu_jit
+
 T1 = 256   # query rows per block
 T2 = 2048  # database rows per block
 
@@ -80,7 +82,7 @@ def _match_kernel(n2_ref, d1_ref, d2_ref, out_ref, use_bf16: bool):
         out_ref[:, 2:3] = new_idx
 
 
-@functools.partial(jax.jit, static_argnames=("use_bf16", "interpret"))
+@tpu_jit(static_argnames=("use_bf16", "interpret"))
 def match_descriptors_pallas(
     d1: jnp.ndarray,
     d2: jnp.ndarray,

@@ -32,6 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...utils.jit import tpu_jit
+
 B = 8        # keypoints per program
 PR = 24      # DMA patch rows (window span + 8 for sublane-aligned origins)
 PWR = 256    # DMA patch cols (window span + 128 for lane-aligned origins)
@@ -165,7 +167,7 @@ def _ori_one(k, kpf_ref, out_ref, patch, copy):
         out_ref[0, :, k] = hist[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@tpu_jit(static_argnames=("interpret",))
 def orientation_histograms_pallas(
     img: jnp.ndarray,
     xpos: jnp.ndarray,

@@ -59,6 +59,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...utils.jit import tpu_jit
+
 from .orient import _atan2_poly
 from .descriptor import _fast_atan2
 
@@ -739,7 +741,7 @@ def _run_table(img_padded, xpos, ypos, scale, live, interpret, fast):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "fast"))
+@tpu_jit(static_argnames=("interpret", "fast"))
 def orient_and_describe_pallas(
     img: jnp.ndarray,
     xpos: jnp.ndarray,

@@ -42,6 +42,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...utils.jit import tpu_jit
+
 from ...config import NUM_SCALES
 
 B = 64    # candidates per program (B=128's stacked tiles + unrolled roll
@@ -219,8 +221,7 @@ def _refine_body(
     out_ref[0] = out
 
 
-@functools.partial(
-    jax.jit,
+@tpu_jit(
     static_argnames=("edge_limit", "lowest_scale", "interpret",
                      "logical_shape", "lane8"),
 )

@@ -17,14 +17,13 @@ multi-stream). The TPU-native scale-out story (SURVEY.md section 5.8):
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import SiftParams
+from ..utils.jit import tpu_jit
 from ..pipeline import _extract_sift_traced
 from ..sift_data import SiftData
 from ..ops.match import match_descriptors
@@ -47,7 +46,7 @@ def extract_sift_batched(
     dimension. With a mesh, the batch axis is sharded across devices.
     """
 
-    @partial(jax.jit, static_argnames=("p",))
+    @tpu_jit(static_argnames=("p",))
     def run(imgs, p):
         return jax.vmap(lambda im: _extract_sift_traced(im, p))(imgs)
 
@@ -85,12 +84,12 @@ def extract_sift_throughput_sharded(
         )
     from ..pipeline import _extract_batch_jit
 
-    fn = jax.shard_map(
+    fn = tpu_jit(jax.shard_map(
         lambda im: _extract_batch_jit(im, params),
         mesh=mesh,
         in_specs=P(axis),
         out_specs=P(axis),
-    )
+    ))
     images = jax.device_put(images, NamedSharding(mesh, P(axis)))
     return fn(images)
 
@@ -140,7 +139,7 @@ def match_descriptors_sharded(
         second_g = jnp.maximum(jnp.max(masked, axis=0), jnp.max(seconds, axis=0))
         return best_g, second_g, match_g
 
-    fn = jax.shard_map(
+    fn = tpu_jit(jax.shard_map(
         local_match,
         mesh=mesh,
         in_specs=(P(), P(axis), P(), P()),
@@ -148,7 +147,7 @@ def match_descriptors_sharded(
         # Outputs are replicated by construction (all_gather + same merge on
         # every shard); the varying-axis checker can't infer that.
         check_vma=False,
-    )
+    ))
     best, second, match = fn(d1, d2, n1, n2)
     best = jnp.maximum(best, 0.0)
     second = jnp.maximum(second, 0.0)

@@ -20,13 +20,14 @@ descriptors; we include every extracted point.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .config import SiftParams
+from .utils.jit import tpu_jit
 from .ops import convolve
 from .ops.detect import detect_octave
 from .ops.orient import compute_orientations, histogram_peaks
@@ -335,12 +336,12 @@ def _extract_sift_traced(image: jnp.ndarray, params: SiftParams) -> SiftData:
     )
 
 
-@partial(jax.jit, static_argnames=("params",))
+@tpu_jit(static_argnames=("params",))
 def _extract_sift_jit(image, params: SiftParams):
     return _extract_sift_traced(image, params)
 
 
-@partial(jax.jit, static_argnames=("params",))
+@tpu_jit(static_argnames=("params",))
 def _extract_batch_jit(images, params: SiftParams):
     # Unrolled, NOT vmapped: vmapping the Pallas keypoint kernels adds a
     # serializing batch grid dimension and re-runs every compaction at batch
