@@ -105,13 +105,20 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev}")
 
-    from cudasift_tpu.pipeline import _extract_sift_traced
+    from cudasift_tpu.pipeline import _effective_params, _extract_sift_traced
 
     results = {}
+    # Resolve refine_layout="auto" OUTSIDE the timing jit: the raw params
+    # would re-trace the probe-rejected DMA tier inside device_time's chain
+    # and crash on a strict Mosaic (this exact bypass killed BENCH_r03).
+    params = _effective_params(
+        cs.SiftParams(num_octaves=5, init_blur=1.0, thresh=3.0,
+                      max_pts=32768)
+    )
+    results["refine_layout"] = params.refine_layout
+    log(f"refine layout: {params.refine_layout}")
     for (h, w) in [(960, 1280), (1080, 1920)]:
         img = jnp.asarray(make_test_image(h, w))
-        params = cs.SiftParams(num_octaves=5, init_blur=1.0, thresh=3.0,
-                               max_pts=32768)
         d = cs.extract_sift(img, params)
         log(f"extract {w}x{h}: numPts={int(d.num_pts)}")
         ms = device_time(
@@ -133,8 +140,7 @@ def main():
     for i in range(n_frames):
         frames[i] = np.roll(frames[i], 37 * i, axis=1)
     fj = jnp.asarray(frames)
-    params_t = cs.SiftParams(num_octaves=5, init_blur=1.0, thresh=3.0,
-                             max_pts=32768)
+    params_t = params
 
     def wall_rate(fn, frames_per_call, reps=15):
         fn()
@@ -192,8 +198,7 @@ def main():
     except ImportError:
         left = righ = None
     if left is not None and righ is not None:
-        params_q = cs.SiftParams(num_octaves=5, init_blur=1.0, thresh=3.0,
-                                 max_pts=32768)
+        params_q = params
         e1 = cs.extract_sift(jnp.asarray(left.astype(np.float32)), params_q)
         e2 = cs.extract_sift(jnp.asarray(righ.astype(np.float32)), params_q)
         e1 = cs.match_sift_data(e1, e2)
@@ -217,7 +222,10 @@ def main():
         "value": round(primary, 4),
         "unit": "ms",
         "vs_baseline": round(primary / 1.0, 4),
-        "detail": {k: round(v, 4) for k, v in results.items()},
+        "detail": {
+            k: round(v, 4) if isinstance(v, float) else v
+            for k, v in results.items()
+        },
     }
     print(json.dumps(out))
 

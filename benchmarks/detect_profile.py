@@ -27,7 +27,7 @@ from cudasift_tpu.ops.detect import compact_mask
 from cudasift_tpu.ops.pallas.dog import dog_and_mask_pallas
 from cudasift_tpu.ops.pallas.refine import refine_candidates_pallas
 from cudasift_tpu.ops.pallas.orient_desc import orient_and_describe_pallas
-from cudasift_tpu.pipeline import _extract_sift_traced
+from cudasift_tpu.pipeline import _effective_params, _extract_sift_traced
 
 
 def main():
@@ -36,8 +36,9 @@ def main():
         h, w = sys.argv[1].split("x")
         shape = (int(h), int(w))
     h, w = shape
-    params = SiftParams(num_octaves=5, init_blur=1.0, thresh=3.0,
-                        max_pts=32768)
+    params = _effective_params(
+        SiftParams(num_octaves=5, init_blur=1.0, thresh=3.0, max_pts=32768)
+    )
     img = jnp.asarray(make_test_image(h, w))
     log(f"image {w}x{h}, device {jax.devices()[0]}")
 

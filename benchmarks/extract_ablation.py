@@ -28,7 +28,8 @@ from cudasift_tpu.ops.detect import compact_mask
 from cudasift_tpu.ops.pallas.dog import dog_and_mask_pallas
 from cudasift_tpu.ops.pallas.refine import refine_candidates_pallas
 from cudasift_tpu.ops.pallas.orient_desc import orient_and_describe_pallas
-from cudasift_tpu.pipeline import _extract_sift_traced, _extract_octave
+from cudasift_tpu.pipeline import (_effective_params, _extract_octave,
+                                   _extract_sift_traced)
 
 
 STAGES = ("preproc", "dog", "compact", "refine", "orientdesc", "octave",
@@ -90,8 +91,10 @@ def main():
     if args:
         thresh = float(args[0])
     h, w = shape
-    params = SiftParams(num_octaves=5, init_blur=1.0, thresh=thresh,
-                        max_pts=32768)
+    params = _effective_params(
+        SiftParams(num_octaves=5, init_blur=1.0, thresh=thresh,
+                   max_pts=32768)
+    )
     img = jnp.asarray(make_test_image(h, w))
     log(f"image {w}x{h} thresh {thresh}, device {jax.devices()[0]}")
 

@@ -27,7 +27,7 @@ import cudasift_tpu as cs
 from cudasift_tpu.config import SiftParams
 from cudasift_tpu.ops import convolve
 from cudasift_tpu.ops.detect import compact_mask
-from cudasift_tpu.pipeline import _extract_sift_traced, _compact
+from cudasift_tpu.pipeline import _compact, _effective_params, _extract_sift_traced
 
 
 def main():
@@ -38,8 +38,9 @@ def main():
         h, w = args[0].split("x")
         shape = (int(h), int(w))
     h, w = shape
-    params = SiftParams(num_octaves=5, init_blur=1.0, thresh=3.0,
-                        max_pts=32768)
+    params = _effective_params(
+        SiftParams(num_octaves=5, init_blur=1.0, thresh=3.0, max_pts=32768)
+    )
     img = jnp.asarray(make_test_image(h, w))
     log(f"image {w}x{h}, device {jax.devices()[0]}")
 

@@ -39,8 +39,12 @@ def wall_rate(fn, frames_per_call, reps=15):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     h, w = 960, 1280
-    params = cs.SiftParams(num_octaves=5, init_blur=1.0, thresh=3.0,
-                           max_pts=32768)
+    from cudasift_tpu.pipeline import _effective_params
+
+    params = _effective_params(
+        cs.SiftParams(num_octaves=5, init_blur=1.0, thresh=3.0,
+                      max_pts=32768)
+    )
     frames = np.stack([make_test_image(h, w, seed=i) for i in range(n)])
     # Distinct contents per frame: shift crops so counts differ.
     for i in range(n):

@@ -103,6 +103,10 @@ def _run(args) -> int:
     metrics = {
         "num_pts1": n1,
         "num_pts2": n2,
+        # Candidates/points dropped by capacity limits (SURVEY section 5.3
+        # failure signal); nonzero means raise --max-pts.
+        "overflow1": int(d1.overflow),
+        "overflow2": int(d2.overflow),
         "num_fit": int(num_fit),
         "num_matches": int(num_matches),
         "match_rate_pct": rate,

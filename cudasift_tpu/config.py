@@ -124,11 +124,27 @@ class SiftParams:
     # (tests/test_envelope.py guards the level) — so it suits throughput-
     # over-precision workloads only and is OFF by default.
     fast_gradients: bool = False
-    # Refine DMAs tiles straight out of the stencil's padded DoG layout with
-    # 8-aligned lane offsets (no sliced/overlap-blocked HBM copy). Escape
-    # hatch: set False to rebuild the legacy overlapping-block copy if a
-    # Mosaic version rejects sub-128 lane offsets in DMA source slices.
-    refine_padded_layout: bool = True
+    # How the subpixel-refine kernel addresses the DoG stack
+    # (ops/pallas/refine.py). Mosaic's HBM DMA-slice alignment rules vary
+    # by compiler version, so "auto" probes the backend ONCE per process
+    # (pipeline._probe_refine_layout) and picks the fastest accepted tier:
+    #   "lane8" — direct DMA into the stencil-padded DoG at 8-aligned lane
+    #             offsets (no copies; strict Mosaics reject lane offsets
+    #             they cannot prove divisible by the 128-lane tiling),
+    #   "pair"  — direct DMA at 128-aligned offsets + a conditional second
+    #             tile fetch for the ~2% of 3-column windows that cross a
+    #             lane-tile edge (no copies; portable to strict Mosaics),
+    #   "copy"  — legacy overlap-blocked HBM copy of the DoG stack
+    #             (always compiles; ~120 MB extra HBM traffic at 1080p).
+    # An explicit value pins the tier: no probe, no healing. Env override:
+    # CUDASIFT_REFINE_LAYOUT skips the probe for "auto" params.
+    refine_layout: str = "auto"
+    # Candidate compaction via the count-gated Pallas kernel
+    # (ops/pallas/compact.py) instead of the XLA radix-512 rank search.
+    # Measured 0.65x on v5e at bench capacities (ROADMAP.md) — the XLA
+    # form's cost scales with CAPACITY though, so this flag exists for
+    # workloads that need capacity >> live count by much larger factors.
+    use_pallas_compact: bool = False
 
     def octave_shapes(self, height: int, width: int) -> tuple[tuple[int, int], ...]:
         """Image shape per octave, index 0 = full working resolution.

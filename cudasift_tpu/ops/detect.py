@@ -39,6 +39,9 @@ class Candidates(NamedTuple):
     edgeness: jnp.ndarray   # (K,) f32, tra^2/det
     valid: jnp.ndarray      # (K,) bool
     count: jnp.ndarray      # () int32, number of valid entries (pre-clamp)
+    # () int32, extrema dropped by the capacity clamp (0 = none). None when
+    # the producer had no total available (refine_candidates alone).
+    overflow: jnp.ndarray = None
 
 
 def extrema_mask(
@@ -110,13 +113,16 @@ def extrema_mask(
     return mask & interior
 
 
-def compact_mask(mask: jnp.ndarray, capacity: int):
+def compact_mask(mask: jnp.ndarray, capacity: int, with_total: bool = False):
     """Compact a boolean mask into raster-ordered flat indices.
 
-    Returns (flat_indices (capacity,) int32, count () int32). Entries past
-    ``count`` are zero. Overflowing candidates are dropped (the reference
-    clamps into the last slot instead, cudaSiftD.cu:1421 — dropping is the
-    cleaner fixed-capacity semantic and is reported via ``count``).
+    Returns (flat_indices (capacity,) int32, count () int32) — plus the
+    pre-clamp extrema total () int32 when ``with_total`` (free: the rank
+    pyramid computes it anyway), so callers can report capacity overflow
+    explicitly instead of inferring it from ``count == capacity``. Entries
+    past ``count`` are zero. Overflowing candidates are dropped (the
+    reference clamps into the last slot instead, cudaSiftD.cu:1421 —
+    dropping is the cleaner fixed-capacity semantic).
 
     Implemented as a radix-512 hierarchical rank search: per-chunk popcounts
     build a small pyramid; each selected slot descends it with one row-gather
@@ -168,6 +174,8 @@ def compact_mask(mask: jnp.ndarray, capacity: int):
         node = node * radix + loc
 
     idx = jnp.where(targets <= total, node, 0)
+    if with_total:
+        return idx, count, total.astype(jnp.int32)
     return idx, count
 
 
@@ -295,7 +303,8 @@ def detect_octave(
     faster on TPU. The XLA path remains the CPU/golden twin.
     """
     mask = extrema_mask(dog, thresh, edge_limit)
-    flat_idx, count = compact_mask(mask, capacity)
+    flat_idx, count, total = compact_mask(mask, capacity, with_total=True)
+    overflow = total - count
     if use_pallas:
         from .pallas.refine import refine_candidates_pallas
 
@@ -304,6 +313,7 @@ def detect_octave(
         )
         return Candidates(
             xpos=xp, ypos=yp, scale=sc, sharpness=sh, edgeness=ed,
-            valid=valid, count=count,
+            valid=valid, count=count, overflow=overflow,
         )
-    return refine_candidates(dog, flat_idx, count, edge_limit, lowest_scale)
+    cands = refine_candidates(dog, flat_idx, count, edge_limit, lowest_scale)
+    return cands._replace(overflow=overflow)

@@ -334,23 +334,30 @@ def improve_homography(
         w_wide = (valid & (err < 4.0 * limit)).astype(jnp.float32)
         h_wide, ok_wide = solve_weighted(w_wide)
 
-        # Keep whichever candidate certifies the largest global consensus —
-        # the quantity numFit measures; ties prefer the reference's update.
-        cnt_cur = jnp.sum(valid & (err < limit))
-        cnt_gated = jnp.where(
-            ok_gated, jnp.sum(valid & (errors(h_gated) < limit)), -1)
-        cnt_glob = jnp.where(
-            ok_glob, jnp.sum(valid & (errors(h_glob) < limit)), -1)
-        cnt_wide = jnp.where(
-            ok_wide, jnp.sum(valid & (errors(h_wide) < limit)), -1)
-        best = jnp.maximum(
-            cnt_cur,
-            jnp.maximum(cnt_gated, jnp.maximum(cnt_glob, cnt_wide)),
+        # Selection criterion: truncated-quadratic (MSAC) score at a TIGHTER
+        # sub-threshold (0.75 * thresh, squared), over all valid pairs.
+        # Deliberately NOT the reported numFit (err < thresh count): an
+        # estimator that selects by its own scoreboard can inflate the
+        # metric without improving the model (r2/r3 review finding). MSAC
+        # at the sub-threshold prefers the tight consensus that a raw count
+        # cannot separate on repetitive scenes, and is the same family of
+        # criterion find_homography's vote already uses. Failed solves
+        # score +inf; ties keep the reference's gated update first.
+        sub = 0.5625 * limit
+        def msac(e):
+            return jnp.sum(jnp.where(valid, jnp.minimum(e, sub), 0.0))
+
+        m_cur = msac(err)
+        m_gated = jnp.where(ok_gated, msac(errors(h_gated)), jnp.inf)
+        m_glob = jnp.where(ok_glob, msac(errors(h_glob)), jnp.inf)
+        m_wide = jnp.where(ok_wide, msac(errors(h_wide)), jnp.inf)
+        best = jnp.minimum(
+            m_cur, jnp.minimum(m_gated, jnp.minimum(m_glob, m_wide))
         )
         h_out = jnp.where(
-            cnt_gated == best, h_gated,
-            jnp.where(cnt_glob == best, h_glob,
-                      jnp.where(cnt_wide == best, h_wide, h)),
+            m_gated == best, h_gated,
+            jnp.where(m_glob == best, h_glob,
+                      jnp.where(m_wide == best, h_wide, h)),
         )
         return h_out
 

@@ -126,17 +126,13 @@ def match_sift_data(
         )
     valid = data1.valid_mask()
     z = jnp.float32(0.0)
-    return SiftData(
-        num_pts=data1.num_pts,
-        xpos=data1.xpos, ypos=data1.ypos, scale=data1.scale,
-        sharpness=data1.sharpness, edgeness=data1.edgeness,
-        orientation=data1.orientation,
+    import dataclasses
+
+    return dataclasses.replace(
+        data1,
         score=jnp.where(valid, best, z),
         ambiguity=jnp.where(valid, ambiguity, z),
         match=jnp.where(valid, index, -1),
         match_xpos=jnp.where(valid, data2.xpos[index], z),
         match_ypos=jnp.where(valid, data2.ypos[index], z),
-        match_error=data1.match_error,
-        subsampling=data1.subsampling,
-        data=data1.data,
     )

@@ -14,9 +14,11 @@ MEASURED NEGATIVE RESULT (v5e, round 3): the XLA twin runs all five
 octaves of the 1080p bench in 0.078 ms minima vs 0.119 ms for this kernel
 (0.65x) — XLA's batched row gather is faster than per-slot (8, 512)
 region DMAs, and compaction is only ~1% of extraction, not the ~10% a
-contaminated profiler reading suggested. Kept unwired as a tested
-reference for workloads where capacity ≫ count by much larger factors;
-the pipeline uses ``ops.detect.compact_mask``.
+contaminated profiler reading suggested. The pipeline therefore defaults
+to ``ops.detect.compact_mask``; this kernel is wired behind
+``SiftParams.use_pallas_compact`` for workloads where capacity ≫ live
+count by much larger factors than the bench's (its per-slot half is
+count-gated, the XLA twin's cost is pure capacity).
 
 The split keeps the capacity-scaled half dense and count-gates the
 per-slot half:
@@ -36,7 +38,6 @@ per-slot half:
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -112,15 +113,17 @@ def _compact_kernel(region_ref, cnt_ref,           # scalar prefetch
         out_ref[0] = idx
 
 
-@tpu_jit(static_argnames=("capacity", "interpret"))
+@tpu_jit(static_argnames=("capacity", "interpret", "with_total"))
 def compact_mask_pallas(
-    mask: jnp.ndarray, capacity: int, interpret: bool = False
+    mask: jnp.ndarray, capacity: int, interpret: bool = False,
+    with_total: bool = False,
 ):
     """Pallas twin of ``ops.detect.compact_mask``.
 
     ``mask`` may be bool or float (the DoG stencil emits float32 0/1, which
     avoids a conversion pass). Returns (flat_idx (capacity,) int32,
-    count () int32), bit-identical to the XLA twin.
+    count () int32) — plus the pre-clamp total when ``with_total``, like
+    the XLA twin — bit-identical to it.
     """
     flat = mask.reshape(-1)
     if flat.dtype != jnp.float32:
@@ -189,7 +192,7 @@ def compact_mask_pallas(
         num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, B, 2), lambda i, *_: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, B, 1), lambda i, *_: (i, 0, 0)),
@@ -204,4 +207,7 @@ def compact_mask_pallas(
         grid_spec=grid_spec,
         interpret=interpret,
     )(region, jnp.atleast_1d(count), m2, meta)
-    return out.reshape(k)[:capacity], count
+    idx = out.reshape(k)[:capacity]
+    if with_total:
+        return idx, count, total.astype(jnp.int32)
+    return idx, count

@@ -20,7 +20,6 @@ are issued up front so copies overlap compute.
 
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 import jax

@@ -25,7 +25,6 @@ fraction; interior keypoints are exact.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

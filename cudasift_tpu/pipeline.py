@@ -39,29 +39,91 @@ def _on_tpu() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
-@lru_cache(maxsize=1)
-def _padded_dma_supported() -> bool:
-    """Whether this backend's Mosaic accepts the padded-layout refine DMA
-    (8-aligned lane offsets into the raw stencil DoG).
+def _transient_error(e: Exception) -> bool:
+    """Shared-chip tunnel hiccups, as opposed to Mosaic compile rejections."""
+    msg = f"{type(e).__name__}: {e}"
+    return any(s in msg for s in (
+        "RESOURCE_EXHAUSTED", "DEADLINE_EXCEEDED", "UNAVAILABLE",
+        "CANCELLED", "ABORTED", "timed out", "Connection",
+    ))
 
-    The rule is undocumented and only checkable by compiling on the real
-    chip; probing once per process (tiny kernel, seconds) means the
-    pipeline, the benchmark and the driver's compile-check all self-heal to
-    the legacy copy path on a Mosaic version that rejects it instead of
-    failing to compile outright."""
-    import numpy as np
+
+@lru_cache(maxsize=1)
+def _probe_refine_layout() -> str:
+    """Pick the fastest refine DMA layout this backend's Mosaic accepts.
+
+    Mosaic's rule for dynamic lane offsets in HBM DMA source slices is
+    undocumented, varies by compiler version (the round-3 bench chip
+    rejected offsets it could not prove divisible by the 128-lane tiling),
+    and — with remote compilation — can change under a running installation.
+    It is only checkable by compiling, so probe ONCE per process and let
+    every entry point self-heal: "lane8" (8-aligned direct DMA) is tried
+    first, then "pair" (128-aligned + conditional second fetch), then the
+    always-compiling "copy" tier.
+
+    The probe uses real octave-like shapes — dog (7, 64, 256), candidates
+    with nonzero 8-aligned and 128-aligned lane offsets, a clamped sublane
+    offset, and lane-tile-crossing windows (the weak (7,16,128) probe of
+    round 3 could only ever produce offset 0 and certified nothing) — and
+    accepts a tier only if its outputs match the copy tier BIT FOR BIT, so
+    a layout that compiles but misaddresses can never be selected.
+    Transient tunnel errors are retried once; only a persistent or
+    compile-shaped failure demotes a tier."""
+    import os
+    import sys
+
+    forced = os.environ.get("CUDASIFT_REFINE_LAYOUT", "")
+    if forced:
+        if forced not in ("lane8", "pair", "copy"):
+            raise ValueError(
+                f"CUDASIFT_REFINE_LAYOUT={forced!r}: want lane8|pair|copy")
+        return forced
 
     from .ops.pallas.refine import refine_candidates_pallas
 
-    try:
-        dog = jnp.zeros((7, 16, 128), jnp.float32)
-        idx = jnp.zeros((64,), jnp.int32).at[0].set(1 * 8 + 3)
+    h, w = 60, 250
+    rng = np.random.default_rng(0)
+    dog_l = rng.standard_normal((7, h, w)).astype(np.float32)
+    dog_p = np.zeros((7, 64, 256), np.float32)
+    dog_p[:, :h, :w] = dog_l
+    dog_p = jnp.asarray(dog_p)
+    # Coverage: x=33 -> ox=32 (8-aligned, NOT 128-aligned); x=130/200 ->
+    # ox=128; x=127..129 -> windows crossing the first lane-tile edge
+    # (rl > 125, the pair tier's conditional second fetch); x=248 ->
+    # right-edge clamp; y=57..59 -> oy clamped to hp-16.
+    xs = [5, 130, 127, 128, 129, 200, 248, 33]
+    ys = [5, 58, 30, 59, 2, 50, 57, 9]
+    ss = [1, 3, 5, 2, 4, 1, 3, 2]
+    idx = np.array(
+        [s * h * w + y * w + x for s, y, x in zip(ss, ys, xs)], np.int32)
+    idx = jnp.asarray(np.pad(idx, (0, 64 - len(idx))))
+    cnt = jnp.int32(len(xs))
+
+    def run(**kw):
         out = refine_candidates_pallas(
-            dog, idx, jnp.int32(1), 10.0, 0.0, logical_shape=(8, 8)
-        )
-        return bool(np.isfinite(np.asarray(out[0])).all())
-    except Exception:  # Mosaic lowering/compile rejection
-        return False
+            dog_p if kw else jnp.asarray(dog_l), idx, cnt, 10.0, 0.0, **kw)
+        return [np.asarray(o) for o in out]
+
+    ref = run()  # "copy" tier: the guaranteed-portable layout
+    for tier, kw in (("lane8", dict(logical_shape=(h, w), lane8=True)),
+                     ("pair", dict(logical_shape=(h, w), lane8=False))):
+        for attempt in (0, 1):
+            try:
+                out = run(**kw)
+            except Exception as e:  # noqa: BLE001 — classified below
+                if _transient_error(e) and attempt == 0:
+                    continue  # retry once; the tunnel drops runs sometimes
+                print(f"cudasift_tpu: refine layout {tier!r} rejected by "
+                      f"this backend ({type(e).__name__}); trying next tier",
+                      file=sys.stderr)
+                break
+            if all(np.array_equal(a, b) for a, b in zip(out, ref)):
+                return tier
+            print(f"cudasift_tpu: refine layout {tier!r} compiled but "
+                  "MISMATCHED the copy tier; trying next tier",
+                  file=sys.stderr)
+            break
+    return "copy"
 
 
 def _orientations(base, xpos, ypos, scale, use_pallas, count=None):
@@ -149,20 +211,29 @@ def _extract_octave(
         from .ops.detect import compact_mask, Candidates
         from .ops.pallas.refine import refine_candidates_pallas
 
-        # raw=True: the DoG stack stays in the stencil's padded layout
-        # (rows/lanes beyond the image hold clamp-padded values) and the
-        # refine kernel DMAs from it directly with 8-aligned lane offsets —
-        # no sliced/overlap-blocked HBM copy in between (~120 MB of pure
-        # copy traffic at 1080p).
-        raw = params.refine_padded_layout
+        # raw=True (lane8/pair tiers): the DoG stack stays in the stencil's
+        # padded layout (rows/lanes beyond the image hold clamp-padded
+        # values) and the refine kernel DMAs from it directly — no
+        # sliced/overlap-blocked HBM copy in between (~120 MB of pure copy
+        # traffic at 1080p). See SiftParams.refine_layout for the tiers.
+        raw = params.refine_layout != "copy"
         dog, mask = dog_and_mask_pallas(
             base, kernels, params.thresh, params.edge_limit, raw=raw
         )
-        flat_idx, count = compact_mask(mask, capacity)
+        if params.use_pallas_compact:
+            from .ops.pallas.compact import compact_mask_pallas
+
+            flat_idx, count, total = compact_mask_pallas(
+                mask, capacity, with_total=True)
+        else:
+            flat_idx, count, total = compact_mask(
+                mask, capacity, with_total=True)
+        oct_overflow = total - count
         xp, yp, sc, sh, ed, valid = refine_candidates_pallas(
             dog, flat_idx, count, params.edge_limit,
             params.lowest_scale_effective / subsampling,
             logical_shape=base.shape if raw else None,
+            lane8=params.refine_layout != "pair",
         )
         # Stable-compact the refine survivors before orientation/descriptor:
         # the fused kernel is count-gated, so dropping the ~15-25% of
@@ -189,6 +260,7 @@ def _extract_octave(
             params.lowest_scale_effective / subsampling,
             capacity,
         )
+        oct_overflow = cands.overflow
 
     scale_safe = jnp.where(cands.valid, cands.scale, 1.0)
 
@@ -266,10 +338,14 @@ def _extract_octave(
     fields["ypos"] = fields["ypos"] * subsampling
     fields["scale"] = fields["scale"] * subsampling
     fields["subsampling"] = jnp.where(slot_valid, subsampling, 0.0)
-    return fields, slot_valid
+    return fields, slot_valid, oct_overflow
 
 
 def _extract_sift_traced(image: jnp.ndarray, params: SiftParams) -> SiftData:
+    # Safety net for direct callers (bench/profilers) that jit around the
+    # public API: resolve refine_layout="auto" so a strict Mosaic can never
+    # see the rejected tier (the round-3 bench crashed exactly this way).
+    params = _effective_params(params)
     h, w = image.shape
     img = image.astype(jnp.float32)
     if params.scale_up:
@@ -283,15 +359,17 @@ def _extract_sift_traced(image: jnp.ndarray, params: SiftParams) -> SiftData:
 
     all_fields: list[dict] = []
     all_valid: list[jnp.ndarray] = []
+    overflow = jnp.zeros((), jnp.int32)
     # Smallest octave first (reference recursion order, cudaSiftH.cu:146-167).
     for o in reversed(range(params.num_octaves)):
         oh, ow = bases[o].shape
         cap = params.candidate_capacity(oh, ow, o)
-        fields, valid = _extract_octave(
+        fields, valid, oct_overflow = _extract_octave(
             bases[o], kernels[o], params, float(2**o), cap
         )
         all_fields.append(fields)
         all_valid.append(valid)
+        overflow = overflow + oct_overflow
 
     merged = {
         k: jnp.concatenate([f[k] for f in all_fields]) for k in all_fields[0]
@@ -303,6 +381,9 @@ def _extract_sift_traced(image: jnp.ndarray, params: SiftParams) -> SiftData:
     total_slots = valid.shape[0]
     cap_eff = min(params.max_pts, (total_slots + 127) // 128 * 128)
     merged, num_pts = _compact(merged, valid, cap_eff)
+    # Global max_pts clamp (the reference's only visible saturation point,
+    # cudaSiftD.cu:1420-1421) also counts toward the explicit overflow.
+    overflow = overflow + valid.sum(dtype=jnp.int32) - num_pts
     if cap_eff < params.max_pts:
         pad = params.max_pts - cap_eff
         merged = {
@@ -333,6 +414,7 @@ def _extract_sift_traced(image: jnp.ndarray, params: SiftParams) -> SiftData:
         match_error=z,
         subsampling=merged["subsampling"],
         data=merged["data"],
+        overflow=overflow,
     )
 
 
@@ -356,19 +438,39 @@ def _extract_batch_jit(images, params: SiftParams):
 
 
 def _effective_params(params: SiftParams) -> SiftParams:
-    """Drop to the legacy refine layout when the backend's Mosaic rejects
-    the padded-layout DMA (probed once per process, see
-    _padded_dma_supported). Trace-time decision: params are jit-static."""
-    if (
-        params.use_pallas
-        and params.refine_padded_layout
-        and _on_tpu()
-        and not _padded_dma_supported()
-    ):
-        import dataclasses
+    """Resolve ``refine_layout="auto"`` to the concrete tier this backend
+    supports (probed once per process, see _probe_refine_layout).
 
-        params = dataclasses.replace(params, refine_padded_layout=False)
-    return params
+    Must run OUTSIDE any jax trace: the probe dispatches real kernels, and
+    under tracing those would be staged into the caller's program. Every
+    public entry point calls this before jitting; _extract_sift_traced also
+    calls it as a safety net for direct private-API callers (bench harness,
+    profilers), where the trace-clean guard below keeps an already-probed
+    result usable and otherwise degrades to the portable tier."""
+    if not (params.use_pallas and params.refine_layout == "auto"):
+        return params
+    if not _on_tpu():
+        return params  # layout only affects the TPU Pallas path
+    import dataclasses
+
+    from .utils.jit import trace_state_clean
+
+    if trace_state_clean():
+        tier = _probe_refine_layout()
+    elif _probe_refine_layout.cache_info().currsize:
+        tier = _probe_refine_layout()  # pure cache hit; no kernel dispatch
+    else:
+        import sys
+
+        tier = "copy"
+        print(
+            "cudasift_tpu: refine_layout='auto' reached inside a jax trace "
+            "before the layout probe ran — using the portable 'copy' tier. "
+            "Call pipeline._effective_params(params) (or extract_sift) once "
+            "outside jit first to enable the direct-DMA tiers.",
+            file=sys.stderr,
+        )
+    return dataclasses.replace(params, refine_layout=tier)
 
 
 def extract_sift_throughput(

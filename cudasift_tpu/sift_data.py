@@ -7,9 +7,10 @@ descriptor matrix feeds the MXU matcher directly, and the whole structure
 passes through ``jit``/``vmap``/``shard_map`` untouched.
 
 Capacity (``max_pts``) is static; ``num_pts`` is a traced scalar. Slots at or
-beyond ``num_pts`` are zero. Overflow is reported via ``num_pts`` saturating
-at capacity (the reference silently clamps into the last slot,
-cudaSiftD.cu:1421).
+beyond ``num_pts`` are zero. Overflow is EXPLICIT: ``overflow`` counts
+candidates dropped at any fixed-capacity stage (per-octave candidate caps +
+the global ``max_pts`` clamp) — the reference only clamps visibly into the
+last slot (cudaSiftD.cu:1420-1421) and per-stage drops there are silent.
 """
 
 from __future__ import annotations
@@ -41,6 +42,12 @@ class SiftData:
     match_error: jnp.ndarray  # (max_pts,) f32
     subsampling: jnp.ndarray  # (max_pts,) f32
     data: jnp.ndarray         # (max_pts, 128) f32 descriptors
+    # () int32: candidates/points dropped by capacity limits during
+    # extraction (per-octave candidate caps + the global max_pts clamp).
+    # 0 on every in-envelope input; nonzero means results are valid but
+    # incomplete — raise max_pts / candidate_fraction (SURVEY.md section
+    # 5.3 failure-reporting analogue).
+    overflow: jnp.ndarray = None
 
     @property
     def max_pts(self) -> int:
@@ -60,6 +67,7 @@ def init_sift_data(num: int = 1024) -> SiftData:
         match=jnp.full((num,), -1, jnp.int32),
         match_xpos=z, match_ypos=z, match_error=z, subsampling=z,
         data=jnp.zeros((num, 128), jnp.float32),
+        overflow=jnp.zeros((), jnp.int32),
     )
 
 

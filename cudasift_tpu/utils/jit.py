@@ -30,12 +30,30 @@ SCOPED_VMEM_LIMIT_KIB = 24576
 
 
 def tpu_compiler_options() -> dict | None:
-    """Compile options for the current default backend (None on CPU)."""
+    """Compile options for the current default backend (None on CPU).
+
+    Matched as ``!= "cpu"`` rather than ``== "tpu"`` deliberately: the
+    tunneled TPU registers as the experimental "axon" platform, so an
+    allowlist would silently skip the vmem raise there. This library has
+    no GPU path, so every non-CPU backend it can run on is TPU-like."""
     import jax
 
     if jax.default_backend() == "cpu":
         return None
     return {"xla_tpu_scoped_vmem_limit_kib": SCOPED_VMEM_LIMIT_KIB}
+
+
+def trace_state_clean() -> bool:
+    """True when no jax trace is active (top-level Python execution).
+
+    jax 0.9 only exposes this through a private module; degrade to False
+    (the conservative nested-call behavior) if an upgrade moves it, so
+    callers keep working instead of crashing at call time."""
+    try:
+        from jax._src.core import trace_state_clean as _tsc
+    except ImportError:  # moved/removed in a future jax
+        return False
+    return _tsc()
 
 
 def tpu_jit(fn=None, **jit_kwargs):
@@ -58,16 +76,16 @@ def tpu_jit(fn=None, **jit_kwargs):
         # (it can only apply to the outermost compile), so a nested call
         # dispatches the plain variant — the enclosing tpu_jit/bench chain
         # carries the options for the whole module.
-        from jax._src.core import trace_state_clean
-
         top = trace_state_clean()
         with_opts = top and jax.default_backend() != "cpu"
         if with_opts not in jitted:
-            jitted[with_opts] = jax.jit(
+            # setdefault: concurrent first calls may race building the jit
+            # object; keep exactly one so clear_cache() sees every live jit.
+            jitted.setdefault(with_opts, jax.jit(
                 fn,
                 compiler_options=tpu_compiler_options() if with_opts else None,
                 **jit_kwargs,
-            )
+            ))
         return jitted[with_opts](*args, **kwargs)
 
     def clear_cache():

@@ -31,14 +31,20 @@ def test_compact_mask_raster_order_and_overflow():
     coords = [(0, 1, 1), (0, 2, 3), (1, 0, 0), (1, 3, 4)]
     for c in coords:
         mask[c] = True
-    idx, count = detect.compact_mask(jnp.asarray(mask), 8)
-    assert int(count) == 4
+    idx, count, total = detect.compact_mask(jnp.asarray(mask), 8,
+                                            with_total=True)
+    assert int(count) == 4 and int(total) == 4
     flat = [np.ravel_multi_index(c, (2, 4, 5)) for c in coords]
     np.testing.assert_array_equal(np.asarray(idx)[:4], sorted(flat))
-    # Overflow drops the tail but count saturates at capacity.
-    idx2, count2 = detect.compact_mask(jnp.asarray(mask), 2)
-    assert int(count2) == 2
+    # Overflow drops the tail; count saturates at capacity while the
+    # pre-clamp total stays observable (the explicit overflow signal).
+    idx2, count2, total2 = detect.compact_mask(jnp.asarray(mask), 2,
+                                               with_total=True)
+    assert int(count2) == 2 and int(total2) == 4
     np.testing.assert_array_equal(np.asarray(idx2), sorted(flat)[:2])
+    # Default 2-tuple form unchanged.
+    idx3, count3 = detect.compact_mask(jnp.asarray(mask), 8)
+    np.testing.assert_array_equal(np.asarray(idx3), np.asarray(idx))
 
 
 def test_refinement_matches_golden(rng):

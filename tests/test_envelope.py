@@ -83,6 +83,10 @@ def test_full_fixture_envelope(stereo_pair, thresh, ref_fit, ref_rate,
                                meas_fit, meas_rate, meas_feats):
     left, righ = stereo_pair
     d1, d2, H, nm, numfit, err = demo_flow(left, righ, thresh)
+    # The fixture is in-envelope: no candidate capacity may saturate
+    # (SURVEY section 5.3 — silent drops cost ~11% of features pre-r3).
+    assert int(d1.overflow) == 0 and int(d2.overflow) == 0, (
+        int(d1.overflow), int(d2.overflow))
     n1, n2 = int(d1.num_pts), int(d2.num_pts)
     r1, r2 = ref_style_numpts(d1), ref_style_numpts(d2)
     nmin_ref = min(r1, r2)

@@ -4,9 +4,11 @@ The two must agree bit for bit: compaction order defines the deterministic
 keypoint order (our replacement for the reference's racy atomicInc appends,
 cudaSiftD.cu:1418-1428).
 
-Marked ``slow``: compact_mask_pallas is kept UNWIRED (the XLA rank search
-won its A/B, ROADMAP.md) — interpret-mode traces of a non-product kernel
-shouldn't tax the fast suite (~40 s of it on this 1-core host).
+Marked ``slow``: compact_mask_pallas is OFF by default (the XLA rank
+search won its A/B, ROADMAP.md; the kernel is wired behind
+SiftParams.use_pallas_compact for capacity >> count workloads) —
+interpret-mode traces of a non-default kernel shouldn't tax the fast
+suite (~40 s of it on this 1-core host).
 """
 
 import numpy as np

@@ -222,3 +222,117 @@ def test_fused_pipeline_branch_interpret_matches_xla(left_image, monkeypatch):
     assert np.isfinite(df).all()
     norms = np.linalg.norm(df, axis=1)
     np.testing.assert_allclose(norms[norms > 0], 1.0, atol=2e-2)
+
+
+class TestRefineLayoutHealing:
+    """The refine_layout="auto" resolution chain (pipeline._effective_params
+    + _probe_refine_layout). The on-chip halves live in tests/test_tpu.py;
+    these cover the pure-Python selection logic."""
+
+    def test_cpu_is_identity(self):
+        from cudasift_tpu import pipeline
+
+        p = SiftParams()
+        assert pipeline._effective_params(p) is p  # layout is TPU-only
+
+    def test_explicit_tier_skips_probe(self, monkeypatch):
+        import dataclasses
+
+        from cudasift_tpu import pipeline
+
+        monkeypatch.setattr(pipeline, "_on_tpu", lambda: True)
+
+        def boom():
+            raise AssertionError("probe must not run for explicit tiers")
+
+        monkeypatch.setattr(pipeline, "_probe_refine_layout", boom)
+        for tier in ("lane8", "pair", "copy"):
+            p = dataclasses.replace(SiftParams(), refine_layout=tier)
+            assert pipeline._effective_params(p) is p
+
+    def test_auto_resolves_via_probe(self, monkeypatch):
+        from cudasift_tpu import pipeline
+
+        monkeypatch.setattr(pipeline, "_on_tpu", lambda: True)
+        monkeypatch.setattr(pipeline, "_probe_refine_layout", lambda: "pair")
+        eff = pipeline._effective_params(SiftParams())
+        assert eff.refine_layout == "pair"
+
+    def test_auto_under_trace_degrades_to_copy(self, monkeypatch, capsys):
+        """A direct caller that jits around the public API before any probe
+        ran must get the portable tier plus a loud warning, never a crash
+        (the round-3 bench died exactly here)."""
+        import jax
+
+        from cudasift_tpu import pipeline
+
+        monkeypatch.setattr(pipeline, "_on_tpu", lambda: True)
+
+        class NeverProbed:
+            def __call__(self):
+                raise AssertionError("probe must not dispatch under trace")
+
+            def cache_info(self):
+                from functools import lru_cache
+
+                return lru_cache(maxsize=1)(lambda: None).cache_info()
+
+        monkeypatch.setattr(pipeline, "_probe_refine_layout", NeverProbed())
+
+        seen = {}
+
+        def traced(x):
+            seen["tier"] = pipeline._effective_params(
+                SiftParams()).refine_layout
+            return x
+
+        jax.jit(traced)(jnp.zeros(()))
+        assert seen["tier"] == "copy"
+        assert "refine_layout" in capsys.readouterr().err
+
+    def test_env_override(self, monkeypatch):
+        from cudasift_tpu import pipeline
+
+        monkeypatch.setenv("CUDASIFT_REFINE_LAYOUT", "copy")
+        pipeline._probe_refine_layout.cache_clear()
+        try:
+            assert pipeline._probe_refine_layout() == "copy"
+        finally:
+            pipeline._probe_refine_layout.cache_clear()
+
+    def test_env_override_rejects_garbage(self, monkeypatch):
+        from cudasift_tpu import pipeline
+
+        monkeypatch.setenv("CUDASIFT_REFINE_LAYOUT", "fastest")
+        pipeline._probe_refine_layout.cache_clear()
+        try:
+            with pytest.raises(ValueError, match="lane8|pair|copy"):
+                pipeline._probe_refine_layout()
+        finally:
+            pipeline._probe_refine_layout.cache_clear()
+
+    def test_transient_error_classifier(self):
+        from cudasift_tpu.pipeline import _transient_error
+
+        assert _transient_error(RuntimeError("RESOURCE_EXHAUSTED: hbm"))
+        assert _transient_error(OSError("Connection reset by tunnel"))
+        assert not _transient_error(RuntimeError(
+            "Mosaic failed to compile TPU kernel: Failed to prove that a "
+            "tile index in dimension 2 is divisible by the tiling (128)."))
+
+
+def test_overflow_signal_reports_capacity_drops():
+    """Saturating the candidate caps must be observable in SiftData.overflow
+    (SURVEY section 5.3): dense noise at a low threshold floods a tiny
+    max_pts. The zero side (in-envelope fixture => overflow == 0) is
+    asserted in test_envelope.py."""
+    from cudasift_tpu import extract_sift
+
+    img = jnp.asarray(
+        np.random.default_rng(3).uniform(0, 255, (128, 160)).astype(
+            np.float32))
+    params = SiftParams(num_octaves=1, thresh=0.5, max_pts=128,
+                        min_candidates=128)
+    d = extract_sift(img, params)
+    assert int(d.num_pts) == 128          # saturated
+    assert int(d.overflow) > 0            # ... and says so

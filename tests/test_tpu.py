@@ -41,6 +41,19 @@ def crop(left_image):
     return jnp.asarray(left_image[200:712, 300:940])
 
 
+def _assert_refine_agreement(ref, out):
+    """Bit equality on every field except scale, which is exp2-derived:
+    Mosaic's exp2 lowering differs from XLA's by 1 ulp on some libtpu
+    versions (observed on-chip 2026-08: 1/1024 candidates, 6.3e-8 rel; the
+    interpret-mode test tolerates the same bound, tests/test_pallas.py)."""
+    for a, b, name in zip(ref, out, ["x", "y", "sc", "sh", "ed", "valid"]):
+        a, b = np.asarray(a), np.asarray(b)
+        if name == "sc":
+            np.testing.assert_allclose(a, b, rtol=3e-7, atol=0, err_msg=name)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=name)
+
+
 def test_refine_pallas_bit_agreement_on_chip(left_image):
     from cudasift_tpu.ops import convolve
     from cudasift_tpu.ops.detect import (
@@ -58,20 +71,38 @@ def test_refine_pallas_bit_agreement_on_chip(left_image):
     assert int(cnt) > 50
     ref = refine_candidates(dog, idx, cnt, 10.0, 0.0)
     out = refine_candidates_pallas(dog, idx, cnt, 10.0, 0.0)
-    for a, b, name in zip(ref, out, ["x", "y", "sc", "sh", "ed", "valid"]):
-        np.testing.assert_array_equal(
-            np.asarray(a), np.asarray(b), err_msg=name
-        )
+    _assert_refine_agreement(ref, out)
 
 
-def test_refine_padded_layout_bit_agreement_on_chip(left_image):
-    """The padded-layout path (raw stencil DoG + 8-aligned lane DMA
-    offsets) vs the XLA twin on the same candidates. Interpret mode cannot
-    validate Mosaic's DMA-offset alignment rules — only the chip can."""
+def test_refine_layout_probe_on_chip():
+    """The once-per-process layout probe must resolve to a concrete tier,
+    and _effective_params must pin it into the params."""
+    from cudasift_tpu.pipeline import _effective_params, _probe_refine_layout
+
+    tier = _probe_refine_layout()
+    assert tier in ("lane8", "pair", "copy")
+    eff = _effective_params(SiftParams())
+    assert eff.refine_layout == tier
+
+
+@pytest.mark.parametrize("lane8", [True, False], ids=["lane8", "pair"])
+def test_refine_padded_layout_bit_agreement_on_chip(left_image, lane8):
+    """The padded-layout direct-DMA tiers (raw stencil DoG + 8- or
+    128-aligned lane DMA offsets) vs the XLA twin on the same candidates.
+    Interpret mode cannot validate Mosaic's DMA-offset alignment rules —
+    only the chip can. A tier the probe rejected is SKIPPED (strict Mosaics
+    legitimately refuse lane8); a tier the probe accepted must run and
+    agree bit for bit."""
     from cudasift_tpu.ops import convolve
     from cudasift_tpu.ops.detect import compact_mask, refine_candidates
     from cudasift_tpu.ops.pallas.dog import dog_and_mask_pallas
     from cudasift_tpu.ops.pallas.refine import refine_candidates_pallas
+    from cudasift_tpu.pipeline import _probe_refine_layout
+
+    tier = "lane8" if lane8 else "pair"
+    probed = _probe_refine_layout()
+    order = ("lane8", "pair", "copy")
+    probe_rejected = order.index(probed) > order.index(tier)
 
     params = SiftParams(num_octaves=3, thresh=2.0)
     img = jnp.asarray(left_image[:384, :512])
@@ -80,10 +111,11 @@ def test_refine_padded_layout_bit_agreement_on_chip(left_image):
     kern = params.laplace_kernels[0]
     dog_raw, mask = dog_and_mask_pallas(low, kern, 2.0, 10.0, raw=True)
     idx, cnt = compact_mask(mask, 1024)
-    # Force right-edge candidates: the 8-aligned ox clamp drives the
-    # in-tile lane offset toward its 125 ceiling there.
+    # Force right-edge candidates (the ox clamp drives the in-tile lane
+    # offset toward its ceiling) and lane-tile-crossing windows at
+    # x = 127/128 (the pair tier's conditional second fetch).
     forced = [(s, y, x) for s in (0, 4) for y in (1, h - 2)
-              for x in (w - 3, w - 2)]
+              for x in (127, 128, w - 3, w - 2)]
     extra = jnp.asarray([s * h * w + y * w + x for s, y, x in forced],
                         jnp.int32)
     # Forced entries go FIRST so natural candidates saturating the capacity
@@ -95,12 +127,15 @@ def test_refine_padded_layout_bit_agreement_on_chip(left_image):
     # XLA twin on the pallas-stencil DoG values (sliced view) so the
     # comparison isolates the refine kernels, not the stencils.
     ref = refine_candidates(dog_raw[:, :h, :w], idx, cnt, 10.0, 0.0)
-    out = refine_candidates_pallas(dog_raw, idx, cnt, 10.0, 0.0,
-                                   logical_shape=(h, w))
-    for a, b, name in zip(ref, out, ["x", "y", "sc", "sh", "ed", "valid"]):
-        np.testing.assert_array_equal(
-            np.asarray(a), np.asarray(b), err_msg=name
-        )
+    try:
+        out = refine_candidates_pallas(dog_raw, idx, cnt, 10.0, 0.0,
+                                       logical_shape=(h, w), lane8=lane8)
+        out = [np.asarray(o) for o in out]
+    except Exception:
+        if probe_rejected:
+            pytest.skip(f"Mosaic rejects {tier!r} (probed tier: {probed!r})")
+        raise  # the probe certified this tier — a failure here is a bug
+    _assert_refine_agreement(ref, out)
 
 
 def test_dog_stencil_mask_agreement_on_chip(left_image):
@@ -128,6 +163,21 @@ def test_dog_stencil_mask_agreement_on_chip(left_image):
     assert flips <= max(3, int(0.002 * mask_x.sum())), (
         flips, int(mask_x.sum())
     )
+
+
+def test_pallas_compact_pipeline_on_chip(left_image):
+    """SiftParams.use_pallas_compact must produce the identical point set
+    (compaction order defines keypoint order, so bit-equality is the bar)."""
+    img = jnp.asarray(left_image[:256, :320])
+    base = SiftParams(num_octaves=2, thresh=3.0, max_pts=2048)
+    d_x = cs.extract_sift(img, base)
+    d_p = cs.extract_sift(
+        img, dataclasses.replace(base, use_pallas_compact=True))
+    assert int(d_x.num_pts) == int(d_p.num_pts)
+    for f in ("xpos", "ypos", "scale", "orientation", "data"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(d_x, f)), np.asarray(getattr(d_p, f)),
+            err_msg=f)
 
 
 def test_matcher_exactness_on_chip(rng):
