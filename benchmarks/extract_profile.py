@@ -108,7 +108,8 @@ def main():
         def ref_(p, dog=dog, idx=idx, cnt=cnt, shape=base.shape):
             return refine_candidates_pallas(dog + p, idx, cnt,
                                             params.edge_limit, 0.0,
-                                            logical_shape=shape)
+                                            logical_shape=shape,
+                                            lane8=params.refine_layout != "pair")
 
         xp, yp, sc, sh, ed, valid = ref_(jnp.float32(0))
         t_ref = device_time(ref_, chain=16)

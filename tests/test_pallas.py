@@ -99,6 +99,111 @@ def test_match_kernel_matches_golden(rng):
     np.testing.assert_allclose(np.asarray(amb)[:n1], ga, rtol=1e-4, atol=1e-5)
 
 
+def test_match_kernel_highest_tier_matches_golden(rng):
+    """The single-pass Precision.HIGHEST tier (rescore_k=None) stays exact."""
+    from cudasift_tpu.ops.pallas.match import match_descriptors_pallas
+
+    d1 = rng.standard_normal((256, 128)).astype(np.float32)
+    d1 /= np.linalg.norm(d1, axis=1, keepdims=True)
+    d2 = rng.standard_normal((400, 128)).astype(np.float32)
+    d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
+    n1, n2 = 256, 380
+    best, amb, idx = match_descriptors_pallas(
+        jnp.asarray(d1), jnp.asarray(d2), jnp.int32(n1), jnp.int32(n2),
+        rescore_k=None, interpret=True,
+    )
+    gb, ga, gi = golden.match_brute_force(
+        d1[:n1].astype(np.float64), d2[:n2].astype(np.float64)
+    )
+    np.testing.assert_array_equal(np.asarray(idx)[:n1], gi)
+    np.testing.assert_allclose(np.asarray(best)[:n1], gb, rtol=1e-5, atol=1e-6)
+
+
+def test_match_hybrid_rescore_fixes_bf16_flip():
+    """Adversarial near-tie where the bfloat16x3 sweep provably misorders
+    two candidates; the exact rescore must return the true winner.
+
+    Construction: the sweep drops the lo*lo product of the hi/lo bfloat16
+    split. With query entries 1.001 (lo_q ~ 1e-3) and two candidates whose
+    lo parts are +/-3e-3, the dropped term swings the sweep scores by
+    ~ +/-3.8e-4 while the exact scores differ by only ~1e-4 the OTHER way —
+    so the sweep ranks the exact loser first. This is the exact failure
+    mode that cost nm 990 -> 858 on the repetitive bundled pair when pure
+    bf16 was tried in round 3 (ROADMAP.md)."""
+    from cudasift_tpu.ops.pallas.match import match_descriptors_pallas
+    import ml_dtypes
+
+    def split(v):
+        hi = v.astype(ml_dtypes.bfloat16).astype(np.float64)
+        lo = (v - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+        return hi, lo.astype(np.float64)
+
+    q = np.full(128, 1.001, np.float32)  # lo_q = +1e-3 per entry
+
+    def exact64(x):
+        return float(q.astype(np.float64) @ x.astype(np.float64))
+
+    def sweep64(x):
+        qh, ql = split(q)
+        xh, xl = split(x)
+        return float(qh @ xh + qh @ xl + ql @ xh)
+
+    # cand_a: lo = -3e-3 everywhere (0.997 -> hi 1.0; 1.0048125 -> hi
+    # 1.0078125); cand_b: lo = +3e-3 everywhere (1.003 -> hi 1.0). The
+    # 30/98 mix makes the exact sums nearly equal; the spread nudge tips
+    # exact_b above exact_a by 1e-4 without moving any hi rounding.
+    cand_a = np.full(128, 1.0048125, np.float32)
+    cand_a[:30] = np.float32(0.997)
+    cand_b = np.full(128, 1.003, np.float32)
+    diff = exact64(cand_a) - exact64(cand_b)
+    cand_b[:100] += np.float32((diff + 1e-4) / 1.001 / 100)
+
+    assert exact64(cand_b) > exact64(cand_a), "construction broken"
+    assert sweep64(cand_a) > sweep64(cand_b), (
+        "construction no longer trips the sweep; rebuild the adversarial pair"
+    )
+
+    rng = np.random.default_rng(7)
+    d2 = rng.standard_normal((64, 128)).astype(np.float32) * 0.01
+    d2[20] = cand_a
+    d2[40] = cand_b
+    d1 = np.stack([q] * 8)
+    best, amb, idx = match_descriptors_pallas(
+        jnp.asarray(d1), jnp.asarray(d2), jnp.int32(8), jnp.int32(64),
+        rescore_k=8, interpret=True,
+    )
+    assert int(np.asarray(idx)[0]) == 40, np.asarray(idx)[:1]
+    np.testing.assert_allclose(float(np.asarray(best)[0]), exact64(cand_b),
+                               rtol=1e-6)
+    # Ambiguity must also be decided on exact scores (2nd best = cand_a).
+    np.testing.assert_allclose(
+        float(np.asarray(amb)[0]), exact64(cand_a) / (exact64(cand_b) + 1e-6),
+        rtol=1e-5)
+
+
+def test_match_hybrid_duplicate_tiebreak_multitile():
+    """Duplicate descriptors: lowest d2 index must win (matching the XLA
+    twin's argmax), including across sweep-tile boundaries (n2 > T2)."""
+    from cudasift_tpu.ops.pallas.match import match_descriptors_pallas, T2
+
+    rng = np.random.default_rng(3)
+    n2 = T2 + 300  # two d2 tiles
+    d2 = rng.standard_normal((n2, 128)).astype(np.float32)
+    d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
+    q = d2[T2 + 100].copy()
+    # Plant exact duplicates of the best match in both tiles; the winner
+    # must be the lowest-index copy (tile 0), its duplicates the 2nd best.
+    d2[50] = q
+    d2[700] = q
+    d1 = np.stack([q] * 4)
+    best, amb, idx = match_descriptors_pallas(
+        jnp.asarray(d1), jnp.asarray(d2), jnp.int32(4), jnp.int32(n2),
+        rescore_k=8, interpret=True,
+    )
+    assert list(np.asarray(idx)) == [50] * 4, np.asarray(idx)
+    np.testing.assert_allclose(np.asarray(amb), 1.0, rtol=1e-6)
+
+
 def test_fused_orient_desc_matches_xla(rng):
     from cudasift_tpu.ops.pallas.orient_desc import orient_and_describe_pallas
     from cudasift_tpu.ops.orient import compute_orientations
