@@ -81,7 +81,7 @@ def main():
         return bases
 
     def p_preproc(p):
-        return [b.reshape(-1)[0] for b in bases_of(p)]
+        return [b.sum() for b in bases_of(p)]
 
     def p_dog(p):
         outs = []
@@ -98,7 +98,7 @@ def main():
             dog, mask = dog_and_mask_pallas(
                 base, kernels[o], params.thresh, params.edge_limit, raw=True)
             idx, cnt = compact_mask(mask, cap)
-            outs.append(dog.reshape(-1)[0] + idx[0] + cnt)
+            outs.append(dog.reshape(-1)[0] + idx.sum() + cnt)
         return outs
 
     def p_refine(p):
@@ -127,7 +127,7 @@ def main():
             f0, live = _compact(
                 {"xpos": xp, "ypos": yp, "scale": sc, "sharpness": sh,
                  "edgeness": ed}, valid, cap)
-            outs.append(f0["xpos"][0] + live)
+            outs.append(sum(v.sum() for v in f0.values()) + live)
         return outs
 
     def p_od(p):

@@ -52,7 +52,10 @@ def make_variant(n_phases: int) -> types.ModuleType:
         head = src[:line_start]
         # meta_ref is written in phase 3; d1/d2 in phase 5.
         stub = STUB if n_phases < 3 else STUB_DESC
-        tail_start = src.index("\n@", line_start)  # the jitted wrapper
+        tail_start = src.index("\ndef ", line_start)  # keep every later def
+        # (_call_kernel, fused_tiles, _run_table, the jitted wrapper --
+        # the old "\n@" cut assumed the wrapper came next and silently
+        # dropped the helpers once the module grew)
         src = head + stub + src[tail_start:]
     mod = types.ModuleType(f"orient_desc_p{n_phases}")
     mod.__dict__["__name__"] = f"orient_desc_p{n_phases}"
@@ -60,6 +63,73 @@ def make_variant(n_phases: int) -> types.ModuleType:
     mod.__dict__["__package__"] = "cudasift_tpu.ops.pallas"
     exec(compile(src, f"orient_desc_p{n_phases}.py", "exec"), mod.__dict__)
     return mod
+
+
+def main_trace():
+    """Chain all 6 truncated variants in ONE jitted program, capture a
+    device trace, and read each variant's kernel duration directly from the
+    chrome trace (events come out in schedule order, so the k-th
+    od-kernel event is variant k). No differencing, no minima protocol —
+    kernel durations on the trace are hardware-counter measurements."""
+    import collections
+    import glob
+    import gzip
+    import json
+    import os
+
+    from cudasift_tpu.utils.jit import tpu_compiler_options
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(make_test_image(1080, 1920))
+    n = 2048
+    x = jnp.asarray(rng.uniform(30, 1890, n).astype(np.float32))
+    y = jnp.asarray(rng.uniform(30, 1050, n).astype(np.float32))
+    s = jnp.asarray(rng.uniform(0.95, 1.9, n).astype(np.float32))
+    cnt = jnp.int32(n)
+
+    mods = [make_variant(k) for k in range(6)]
+    reps = 3
+
+    def chain():
+        acc = jnp.float32(0)
+        for _ in range(reps):
+            for mod in mods:
+                out = mod.orient_and_describe_pallas(
+                    img + acc * 1e-30, x, y, s, count=cnt)
+                for leaf in jax.tree.leaves(out):
+                    acc = acc + leaf.reshape(-1)[0].astype(jnp.float32)
+        return acc
+
+    f = jax.jit(chain, compiler_options=tpu_compiler_options())
+    float(f())
+    logdir = "/tmp/xprof_ablation"
+    os.system(f"rm -rf {logdir}")
+    with jax.profiler.trace(logdir):
+        float(f())
+    tr_file = glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True)[0]
+    with gzip.open(tr_file) as fh:
+        tr = json.load(fh)
+    evs = [e for e in tr["traceEvents"]
+           if e.get("ph") == "X" and "orient_and_describe" in e.get("name", "")]
+    evs.sort(key=lambda e: e["ts"])
+    log(f"{len(evs)} kernel events ({reps} reps x 6 variants expected)")
+    names = [
+        "0 empty grid (overhead)",
+        "1 + acquire",
+        "2 + orient grids",
+        "3 + histograms+peaks",
+        "4 + desc sampling",
+        "5 + binning (full)",
+    ]
+    per = collections.defaultdict(list)
+    for i, e in enumerate(evs):
+        per[i % 6].append(e["dur"])
+    prev = 0.0
+    for k in range(6):
+        us = min(per[k]) if per[k] else float("nan")
+        log(f"{names[k]:>26}: {us:8.1f} us ({us/n*1e3:6.0f} ns/kp) "
+            f" marginal {(us-prev)/n*1e3:+6.0f} ns/kp   runs {['%.0f' % d for d in per[k]]}")
+        prev = us
 
 
 def main():
@@ -90,4 +160,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--trace" in sys.argv:
+        main_trace()
+    else:
+        main()

@@ -112,7 +112,7 @@ def main():
                 {"xpos": d["xp"] + p, "ypos": d["yp"], "scale": d["sc"],
                  "sharpness": d["sh"], "edgeness": d["ed"]},
                 d["valid"], d["cap"])
-            outs.append(f0["xpos"][0] + live)
+            outs.append(sum(v.sum() for v in f0.values()) + live)
         return jnp.stack(outs)
 
     # Per-octave field assembly: dup/concat of the 6 scalar fields + the
@@ -137,8 +137,7 @@ def main():
             }
             slot_valid = jnp.concatenate([valid, valid & d["has2"]])
             fields["subsampling"] = jnp.where(slot_valid, d["sub"], 0.0)
-            outs.append(fields["data"].reshape(-1)[0] + fields["xpos"][0]
-                        + slot_valid.sum())
+            outs.append(sum(v.sum() for v in fields.values()) + slot_valid.sum())
         return jnp.stack(outs)
 
     # The final cross-octave merge: concat everything, one global _compact
@@ -179,7 +178,7 @@ def main():
                 k: jnp.pad(v, [(0, pad)] + [(0, 0)] * (v.ndim - 1))
                 for k, v in merged.items()
             }
-        return merged["data"].reshape(-1)[0] + merged["xpos"][0] + num_pts
+        return sum(v.sum() for v in merged.values()) + num_pts
 
     stages = [
         ("total", st_total, 6),
