@@ -32,13 +32,13 @@ MARKERS = [
     "# ---- Phase 5",
 ]
 STUB = """
-    d1_ref[...] = jnp.zeros((1, 128, B), jnp.float32)
-    d2_ref[...] = jnp.zeros((1, 128, B), jnp.float32)
+    d1_ref[...] = jnp.zeros((1, B, 128), jnp.float32)
+    d2_ref[...] = jnp.zeros((1, B, 128), jnp.float32)
     meta_ref[...] = jnp.zeros((1, 8, B), jnp.float32)
 """
 STUB_DESC = """
-    d1_ref[...] = jnp.zeros((1, 128, B), jnp.float32)
-    d2_ref[...] = jnp.zeros((1, 128, B), jnp.float32)
+    d1_ref[...] = jnp.zeros((1, B, 128), jnp.float32)
+    d2_ref[...] = jnp.zeros((1, B, 128), jnp.float32)
 """
 
 

@@ -80,9 +80,45 @@ def main():
     bb, ab, ib = match_descriptors_pallas(j1, j2, nn, nn, rescore_k=8)
     sc = d1.astype(np.float64) @ d2.astype(np.float64).T
     gi = sc.argmax(1)
-    log(f"exact-vs-f64 idx agreement: highest "
+    log(f"exact-vs-f64 idx agreement (random): highest "
         f"{(np.asarray(ih) == gi).mean():.6f}, hybrid "
         f"{(np.asarray(ib) == gi).mean():.6f}")
+
+    # Same check on the bundled stereo pair's REAL descriptors — repetitive
+    # facades carry signal in the last f32 bits, the case that reverted the
+    # pure-bf16 tier in round 3 (ROADMAP.md). Ties (several columns sharing
+    # a row's f64 max, common on repeated structure) accept any argmax.
+    try:
+        import cv2
+    except ImportError:
+        cv2 = None
+    if cv2 is not None:
+        from cudasift_tpu.config import SiftParams
+        from cudasift_tpu.pipeline import extract_sift
+
+        left = cv2.imread("/root/reference/data/left.pgm", 0)
+        righ = cv2.imread("/root/reference/data/righ.pgm", 0)
+        pr = SiftParams(num_octaves=5, init_blur=1.0, thresh=3.0,
+                        max_pts=32768)
+        e1 = extract_sift(jnp.asarray(left.astype(np.float32)), pr)
+        e2 = extract_sift(jnp.asarray(righ.astype(np.float32)), pr)
+        n1, n2 = int(e1.num_pts), int(e2.num_pts)
+        q1 = np.asarray(e1.data)[:n1]
+        q2 = np.asarray(e2.data)[:n2]
+        bq, aq, iq = match_descriptors_pallas(
+            jnp.asarray(e1.data), jnp.asarray(e2.data),
+            jnp.int32(n1), jnp.int32(n2), rescore_k=8)
+        scq = q1.astype(np.float64) @ q2.astype(np.float64).T
+        giq = scq.argmax(1)
+        idx = np.asarray(iq)[:n1]
+        mism = idx != giq
+        # A mismatch is only real if the f64 scores actually differ.
+        real = mism & ~np.isclose(
+            scq[np.arange(n1), idx], scq[np.arange(n1), giq],
+            rtol=0, atol=0)
+        log(f"bundled-pair ({n1}x{n2}) hybrid-vs-f64: "
+            f"{(~mism).mean():.6f} agree, {int(mism.sum())} raw mismatches, "
+            f"{int(real.sum())} with genuinely different f64 scores")
 
 
 if __name__ == "__main__":

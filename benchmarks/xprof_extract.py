@@ -73,9 +73,60 @@ def main():
         log("NO TRACE CAPTURED — profiler unsupported on this platform?")
         return
 
-    from tensorflow.python.profiler.internal import _pywrap_profiler_plugin  # noqa
-    # Parse the raw xplane proto directly.
-    from tensorboard_plugin_profile.protobuf import xplane_pb2 as xpb
+    try:
+        from tensorflow.python.profiler.internal import _pywrap_profiler_plugin  # noqa
+        # Parse the raw xplane proto directly.
+        from tensorboard_plugin_profile.protobuf import xplane_pb2 as xpb
+    except ImportError:
+        # Some environments ship the profiler plugin without the raw
+        # xplane protos; the chrome trace carries the same per-event
+        # device durations (ts-sorted "X" events on the TPU rows).
+        log("xplane_pb2 unavailable — falling back to chrome trace JSON")
+        import gzip
+        import json
+
+        tr_file = glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True)[0]
+        with gzip.open(tr_file) as fh:
+            tr = json.load(fh)
+        # Map pid -> process name to keep only device (TPU) rows.
+        pid_name = {}
+        for e in tr["traceEvents"]:
+            if e.get("ph") == "M" and e.get("name") == "process_name":
+                pid_name[e["pid"]] = e["args"].get("name", "")
+        per_op = collections.Counter()
+        per_pid = collections.Counter()
+        for e in tr["traceEvents"]:
+            if e.get("ph") != "X":
+                continue
+            pname = pid_name.get(e.get("pid"), "")
+            if "TPU" not in pname and "tpu" not in pname.lower():
+                continue
+            per_op[e["name"]] += e.get("dur", 0)
+            per_pid[pname] += e.get("dur", 0)
+        log("---- per device-row totals (us, over %d reps) ----" % reps)
+        for k, v in per_pid.most_common(10):
+            log(f"{v/reps:10.1f}  {k}")
+        # Aggregate by op family (strip .N instance suffixes / digits);
+        # the jit_chain envelope event is the whole-program wall row.
+        import re as _re
+        fam = collections.Counter()
+        fcnt = collections.Counter()
+        for name, us in per_op.items():
+            if name.startswith("jit_chain"):
+                key = "jit_chain (program envelope)"
+            else:
+                key = _re.sub(r"[.\d]+$", "", name)
+                key = _re.sub(r"\(\d+\)$", "", key)
+            fam[key] += us
+            fcnt[key] += 1
+        log("---- per op-family totals (us per rep) ----")
+        for k, v in fam.most_common(25):
+            log(f"{v/reps:10.1f}  x{fcnt[k]:4d}  {k[:90]}")
+        log(f"---- top {top} ops by device time (us per rep) ----")
+        for name, us in per_op.most_common(top):
+            log(f"{us/reps:10.1f}  {name[:110]}")
+        log(f"TOTAL op-time per rep: {sum(per_op.values())/reps/1000:.3f} ms")
+        return
 
     space = xpb.XSpace()
     with open(planes[0], "rb") as fh:

@@ -137,8 +137,8 @@ def _fused_kernel(
 
     @pl.when(jnp.logical_not(small | large))
     def _():
-        d1_ref[...] = jnp.zeros((1, 128, B), jnp.float32)
-        d2_ref[...] = jnp.zeros((1, 128, B), jnp.float32)
+        d1_ref[...] = jnp.zeros((1, B, 128), jnp.float32)
+        d2_ref[...] = jnp.zeros((1, B, 128), jnp.float32)
         meta_ref[...] = jnp.zeros((1, 8, B), jnp.float32)
 
     @pl.when(small)
@@ -375,12 +375,10 @@ def _block_body(
     # (+c,+s), (-c,-s), (-s,+c), (+s,-c); folded into two +-1/0 tap masks.
     ta = jnp.where(tap == 0, 1.0, jnp.where(tap == 1, -1.0, 0.0))  # (1, SS)
     tc = jnp.where(tap == 2, 1.0, jnp.where(tap == 3, -1.0, 0.0))
-    subc = jax.lax.broadcasted_iota(jnp.int32, (pack * PW, SS), 0)
-    qloc = (subc % PW).astype(jnp.float32)
-    qblk = subc // PW
-    subr = jax.lax.broadcasted_iota(jnp.int32, (pack * P, SS), 0)
-    ploc = (subr % P).astype(jnp.float32)
-    pblk = subr // P
+    qloc1 = jax.lax.broadcasted_iota(
+        jnp.int32, (PW, SS), 0).astype(jnp.float32)
+    ploc1 = jax.lax.broadcasted_iota(
+        jnp.int32, (P, SS), 0).astype(jnp.float32)
     zpat = jnp.zeros((P, PW), jnp.bfloat16)
 
     lane_pk = jax.lax.broadcasted_iota(
@@ -404,12 +402,6 @@ def _block_body(
                       - pltpu.roll(sts, 1, axis=1)).astype(jnp.bfloat16)
             gyf[j] = (pltpu.roll(sts, P - 1, axis=0)
                       - pltpu.roll(sts, 1, axis=0)).astype(jnp.bfloat16)
-
-    def blksel(blk_idx, vals):
-        out = vals[pack - 1]
-        for t in range(pack - 2, -1, -1):
-            out = jnp.where(blk_idx == t, vals[t], out)
-        return out
 
     def sample_coords(k, ori_deg):
         lx0 = kf(k, F_LX0)
@@ -441,17 +433,23 @@ def _block_body(
 
     def desc_group(j, ori_row, dst):
         ks = [pack * j + t for t in range(pack)]
-        sxs, sys, cosas, sinas = [], [], [], []
+        # Build each keypoint's (PW, SS)/(P, SS) tent block directly and
+        # concatenate along rows, instead of where-selecting per-keypoint
+        # coordinate rows into full (pack*P(W), SS) arrays first: the tent
+        # arithmetic then runs on 1/pack-sized arrays (same element values,
+        # bit-identical concat result) and the pack-1 full-size select
+        # passes disappear — phase 4 is the kernel's dominant cost
+        # (trace ablation: 360 of 535 ns/kp).
+        colks, rowks, cosas, sinas = [], [], [], []
         for k in ks:
             sx, sy, cosa, sina = sample_coords(k, metas[ori_row, k])
-            sxs.append(sx)
-            sys.append(sy)
+            colks.append(jnp.maximum(
+                0.0, 1.0 - jnp.abs(qloc1 - sx)).astype(jnp.bfloat16))
+            rowks.append(jnp.maximum(0.0, 1.0 - jnp.abs(ploc1 - sy)))
             cosas.append(cosa)
             sinas.append(sina)
-        sxx = blksel(qblk, sxs)                          # (pack*PW, SS)
-        cols = jnp.maximum(0.0, 1.0 - jnp.abs(qloc - sxx)).astype(jnp.bfloat16)
-        syy = blksel(pblk, sys)
-        rowt = jnp.maximum(0.0, 1.0 - jnp.abs(ploc - syy))
+        cols = jnp.concatenate(colks, axis=0)            # (pack*PW, SS)
+        rowt = jnp.concatenate(rowks, axis=0)            # (pack*P, SS)
         if fast:
             # Block-diagonalize the group's stacked gradient fields by
             # lane masking (same construction as the phase-2 bd4).
@@ -544,17 +542,37 @@ def _block_body(
         for a in range(8):
             af = jnp.float32(a)
             ga = ((angi == af) * g1 + (angp == af) * g2).astype(jnp.bfloat16)
+            # (B, 256) @ (16, 256)^T -> (B, 16): keypoints along SUBLANES,
+            # descriptor cells along lanes, so the kernel emits (B, 128)
+            # blocks in the orientation the XLA wrapper consumes — the
+            # transposed (128, B) form forced a 17.7 us relayout copy of
+            # every output at the big octaves (trace, fusion budget).
             da = jax.lax.dot_general(
-                whi, ga, (((1,), (1,)), ((), ())),
+                ga, whi, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )                                                    # (16, B)
+            )                                                    # (B, 16)
             out.append(da)
-        # Row layout d' = 8*a + ... stacked as (128, B) with row a*16+rc;
-        # the XLA wrapper permutes to the reference order d = 8*rc + a.
-        dref[0] = jnp.concatenate(out, axis=0)
+        # Lane layout d' = a*16 + rc per keypoint row; the XLA wrapper
+        # permutes lanes to the reference order d = 8*rc + a.
+        dref[0] = jnp.concatenate(out, axis=1)
 
     finish(vall[...], d1_ref, 0)
-    finish(vall2[...], d2_ref, 1)
+
+    # Second-peak descriptors only exist where phase 3 saw a qualifying
+    # second histogram peak; skip the whole second binning (and in XLA the
+    # d2 consumer masks by has2 anyway) when no keypoint in the block has
+    # one. metas[2] may hold garbage for slots past the live count — same
+    # exposure as the per-group gate in phase 4, and equally harmless: the
+    # wrapper masks d2 by (live & has2).
+    any2 = jnp.max(metas[2:3, :]) > 0.5
+
+    @pl.when(any2)
+    def _():
+        finish(vall2[...], d2_ref, 1)
+
+    @pl.when(jnp.logical_not(any2))
+    def _():
+        d2_ref[...] = jnp.zeros((1, B, 128), jnp.float32)
 
 
 def _call_kernel(img, xpos, ypos, scale, margins, cnts, interpret, fast):
@@ -602,8 +620,8 @@ def _call_kernel(img, xpos, ypos, scale, margins, cnts, interpret, fast):
             pl.BlockSpec((1, B, NF), lambda i, *_: (i, 0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, 128, B), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, 128, B), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, B, 128), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, B, 128), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, 8, B), lambda i, *_: (i, 0, 0)),
         ),
         scratch_shapes=[
@@ -626,8 +644,8 @@ def _call_kernel(img, xpos, ypos, scale, margins, cnts, interpret, fast):
     return pl.pallas_call(
         functools.partial(_fused_kernel, fast=fast),
         out_shape=(
-            jax.ShapeDtypeStruct((nb, 128, B), jnp.float32),
-            jax.ShapeDtypeStruct((nb, 128, B), jnp.float32),
+            jax.ShapeDtypeStruct((nb, B, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nb, B, 128), jnp.float32),
             jax.ShapeDtypeStruct((nb, 8, B), jnp.float32),
         ),
         grid_spec=grid_spec,
@@ -707,7 +725,7 @@ def _run_table(img_padded, xpos, ypos, scale, live, interpret, fast):
     valid = live_pos[:, None]
 
     def unpack(raw):
-        x = raw[:, perm, :].transpose(0, 2, 1).reshape(nc, 128)
+        x = raw.reshape(nc, 128)[:, perm]
         # L2 -> clamp 0.2 -> L2 (cudaSiftD.cu:390-409).
         n1 = jax.lax.rsqrt(
             jnp.maximum(jnp.sum(x * x, axis=1, keepdims=True), 1e-30))
