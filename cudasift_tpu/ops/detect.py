@@ -140,9 +140,12 @@ def compact_mask(mask: jnp.ndarray, capacity: int, with_total: bool = False):
         flat = jnp.pad(flat, (0, pad))
 
     # Pyramid: levels[0] = (n/512, 512) int8 mask chunks; higher levels hold
-    # the previous level's chunk sums, re-chunked by 512.
+    # the previous level's chunk sums, re-chunked by 512. Convert BEFORE the
+    # reshape: the full-mask relayout is the expensive step (41 us at the
+    # 1080p o0), and converting first keeps it to ONE s8 pass instead of XLA
+    # materializing separate s8 and s32 copies of the chunked mask.
     levels = []
-    cur = flat.reshape(-1, radix).astype(jnp.int8)
+    cur = flat.astype(jnp.int8).reshape(-1, radix)
     levels.append(cur)
     sums = cur.sum(axis=1, dtype=jnp.int32)
     while sums.shape[0] > radix:

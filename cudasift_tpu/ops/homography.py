@@ -28,7 +28,9 @@ from .linalg import solve_batched, weighted_lstsq8
 
 def _compact_valid(mask: jnp.ndarray, capacity: int):
     """Indices of set bits, raster order, fixed capacity."""
-    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    from .scan import mask_cumsum
+
+    pos = mask_cumsum(mask) - 1
     count = jnp.minimum(pos[-1] + 1, capacity).astype(jnp.int32)
     dest = jnp.where(mask, pos, capacity)
     src = jnp.arange(mask.shape[0], dtype=jnp.int32)

@@ -61,6 +61,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...utils.jit import tpu_jit
 
+from ..scan import lane_stack, mask_cumsum
 from .orient import _atan2_poly
 from .descriptor import _fast_atan2
 
@@ -593,7 +594,7 @@ def _call_kernel(img, xpos, ypos, scale, margins, cnts, interpret, fast):
     ox = o_x // 128 * 128
     rx = o_x - ox
     i2sigma2 = -1.0 / (2.0 * 1.5 * 1.5 * scale * scale)
-    fields = jnp.stack(
+    fields = lane_stack(
         [
             xpos - o_x.astype(jnp.float32),            # F_LX0
             ypos - o_y.astype(jnp.float32),            # F_LY0
@@ -604,7 +605,6 @@ def _call_kernel(img, xpos, ypos, scale, margins, cnts, interpret, fast):
             fl_y - o_y.astype(jnp.float32) - 6.0,      # F_RBASE
             i2sigma2,                                  # F_I2S2
         ],
-        axis=-1,
     )                                                  # (n, NF)
     kpfs = fields.reshape(-1)
     kpc = fields.reshape(n // B, B, NF)
@@ -692,9 +692,9 @@ def _run_table(img_padded, xpos, ypos, scale, live, interpret, fast):
     is_small = live & (scale <= SMALL_MAX_SCALE)
     is_large = live & jnp.logical_not(scale <= SMALL_MAX_SCALE)
 
-    pos_s = jnp.cumsum(is_small.astype(jnp.int32)) - 1
+    pos_s = mask_cumsum(is_small) - 1
     cnt_s = jnp.maximum(pos_s[-1] + 1, 0).astype(jnp.int32)
-    pos_l = jnp.cumsum(is_large.astype(jnp.int32)) - 1
+    pos_l = mask_cumsum(is_large) - 1
     cnt_l = jnp.maximum(pos_l[-1] + 1, 0).astype(jnp.int32)
     cs_pad = (cnt_s + B - 1) // B * B
 
@@ -708,7 +708,7 @@ def _run_table(img_padded, xpos, ypos, scale, live, interpret, fast):
     live_pos = (jpos < cnt_s) | ((jpos >= cs_pad) & (jpos < cs_pad + cnt_l))
     # One stacked row gather instead of three scalar gathers (scalar 1-D
     # gathers cost ~20 ns/element on TPU; 12-byte rows amortize).
-    pts = jnp.stack([xpos, ypos, scale], axis=1)[idx]     # (nc, 3)
+    pts = lane_stack([xpos, ypos, scale])[idx]            # (nc, 3)
     bx = pts[:, 0]
     by = pts[:, 1]
     bs = jnp.where(live_pos, pts[:, 2], 1.0)

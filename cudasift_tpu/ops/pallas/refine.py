@@ -322,18 +322,19 @@ def refine_candidates_pallas(
         rl = (x - 1) - blk * span
         lane_align, pair = TC, False
 
-    meta = jnp.stack(
+    from ..scan import lane_stack
+
+    meta = lane_stack(
         [
-            s.astype(jnp.float32),
-            y.astype(jnp.float32),
-            x.astype(jnp.float32),
-            ry.astype(jnp.float32),
+            s,
+            y,
+            x,
+            ry,
             jnp.full((k,), edge_limit, jnp.float32),
             jnp.full((k,), lowest_scale, jnp.float32),
             jnp.zeros((k,), jnp.float32),
             jnp.zeros((k,), jnp.float32),
         ],
-        axis=-1,
     ).reshape(k // B, B, 8)
 
     nb = k // B

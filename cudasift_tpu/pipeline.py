@@ -158,8 +158,10 @@ def _compact(fields: dict, valid: jnp.ndarray, capacity: int):
     per-field scatter form cost 0.95 ms of the 1080p extraction; this form
     ~0.15 ms.)
     """
+    from .ops.scan import lane_stack, mask_cumsum
+
     n = valid.shape[0]
-    pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    pos = mask_cumsum(valid) - 1
     count = jnp.minimum(pos[-1] + 1, capacity).astype(jnp.int32)
     dest = jnp.where(valid, pos, capacity)
     src = jnp.zeros((capacity,), jnp.int32).at[dest].set(
@@ -169,9 +171,7 @@ def _compact(fields: dict, valid: jnp.ndarray, capacity: int):
     out = {}
     narrow = [k for k, v in fields.items() if v.ndim == 1]
     if narrow:
-        stacked = jnp.stack(
-            [fields[k].astype(jnp.float32) for k in narrow], axis=1
-        )                                                    # (n, F)
+        stacked = lane_stack([fields[k] for k in narrow])    # (n, F)
         g = jnp.where(live[:, None], stacked[src], 0.0)      # (cap, F)
         for i, k in enumerate(narrow):
             out[k] = g[:, i].astype(fields[k].dtype)

@@ -35,3 +35,38 @@ def test_device_info(capsys):
     cs.device_info()
     out = capsys.readouterr().out
     assert "Device name:" in out
+
+
+def test_mask_cumsum_matmul_exact():
+    """The MXU triangular-matmul prefix sum is bit-exact vs jnp.cumsum for
+    0/1 masks of every length class (sub-chunk tail, multi-chunk, dense,
+    sparse, empty). Covers the TPU branch of ops.scan.mask_cumsum, which
+    replaced the serial scan in every compaction (136 us at the 1080p
+    merge, chrome trace)."""
+    from cudasift_tpu.ops.scan import _matmul_cumsum, mask_cumsum
+
+    rng = np.random.default_rng(7)
+    for n in (1, 511, 512, 513, 14720, 29440):
+        for p in (0.0, 0.03, 0.5, 1.0):
+            m = jnp.asarray(rng.random(n) < p)
+            want = np.cumsum(np.asarray(m).astype(np.int32))
+            got = np.asarray(_matmul_cumsum(m))
+            assert got.dtype == np.int32
+            np.testing.assert_array_equal(got, want, err_msg=f"n={n} p={p}")
+            np.testing.assert_array_equal(np.asarray(mask_cumsum(m)), want)
+
+
+def test_lane_stack_matches_stack():
+    from cudasift_tpu.ops.scan import lane_stack
+
+    rng = np.random.default_rng(3)
+    cols = [jnp.asarray(rng.standard_normal(777), jnp.float32)
+            for _ in range(8)]
+    want = jnp.stack(cols, axis=1)
+    np.testing.assert_array_equal(np.asarray(lane_stack(cols)),
+                                  np.asarray(want))
+    ints = [jnp.asarray(rng.integers(0, 1000, 64), jnp.int32)
+            for _ in range(3)]
+    np.testing.assert_array_equal(
+        np.asarray(lane_stack(ints)),
+        np.asarray(jnp.stack(ints, axis=1)).astype(np.float32))
