@@ -174,14 +174,15 @@ def main():
             lambda p: match_descriptors_pallas(j1 + p, j2, nn, nn),
             chain=96 if n <= 4096 else 24, reps=11,
         )
-        # Differential timing on a shared chip can under-measure; clamp to
-        # the v5e MXU physics floor (~200 TFLOP/s bf16) and the ~10us
-        # measurement resolution.
+        # Report the RAW measurement always; a synthetic MXU-physics floor
+        # (200 TFLOP/s bf16) goes in a separate detail field so a suspect
+        # differential under-measurement is visible without corrupting the
+        # trend line (round-4 review finding).
         floor = max(0.01, flops / 200e12 * 1e3)
         if ms < floor:
             log(f"match {tag}: WARNING measured {ms:.4f} ms below physics "
-                f"floor {floor:.4f} ms — reporting the floor")
-            ms = floor
+                f"floor {floor:.4f} ms — raw value reported, floor noted")
+            results[f"match_{tag}_floor_ms"] = floor
         results[f"match_{tag}_ms"] = ms
         gflops = flops / (ms * 1e-3) / 1e9
         log(f"match {tag}x{tag}: {ms:.3f} ms ({gflops:.0f} GFLOPS)")

@@ -24,26 +24,38 @@ from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _R = 512  # chunk width: one MXU operand, matches the compaction radix
 
 
 @lru_cache(maxsize=1)
-def _tri_bf16():
+def _tri_np():
     # T[k, j] = 1 for k <= j: (v @ T)[j] = sum_{k <= j} v[k] (inclusive).
-    i = jax.lax.broadcasted_iota(jnp.int32, (_R, _R), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (_R, _R), 1)
-    return (i <= j).astype(jnp.bfloat16)
+    #
+    # MUST be numpy, never jax (match the convolve._band_matrix precedent):
+    # the first call happens inside a jit trace on TPU, and caching a traced
+    # jax array poisons every later trace with UnexpectedTracerError (the
+    # round-4 bench killer). jnp.asarray per call hands each trace its own
+    # constant.
+    return np.triu(np.ones((_R, _R), np.float32))
+
+
+def _tri_bf16():
+    return jnp.asarray(_tri_np(), dtype=jnp.bfloat16)
 
 
 def mask_cumsum(valid: jnp.ndarray) -> jnp.ndarray:
     """Inclusive prefix sum of a 1-D 0/1 mask, as int32. Bit-exact.
 
     MXU form of ``jnp.cumsum(valid.astype(int32))`` (see module docstring);
-    inputs MUST be boolean or 0/1 — general integers would round in the
-    bf16 operand cast. On CPU the serial scan is already fast; keep it
-    (the two forms agree exactly, golden-tested).
+    inputs MUST be boolean — general integers would round in the bf16
+    operand cast, so non-bool dtypes are rejected loudly. On CPU the
+    serial scan is already fast; keep it (the two forms agree exactly,
+    golden-tested).
     """
+    if valid.dtype != jnp.bool_:
+        raise TypeError(f"mask_cumsum needs a boolean mask, got {valid.dtype}")
     n = valid.shape[0]
     if jax.default_backend() == "cpu" or n < 2 * _R:
         return jnp.cumsum(valid.astype(jnp.int32))
@@ -70,9 +82,10 @@ def _matmul_cumsum(valid: jnp.ndarray) -> jnp.ndarray:
 def lane_stack(cols: list[jnp.ndarray], dtype=jnp.float32) -> jnp.ndarray:
     """(n, K) table from K (n,) columns as ONE loop fusion.
 
-    Value-identical to ``jnp.stack(cols, axis=1)`` (every element is copied,
-    not computed), but lowers to a single iota-select pass instead of K
-    one-lane tiled materializations.
+    Value-identical to ``jnp.stack(cols, axis=1).astype(dtype)`` — note the
+    cast: every column is coerced to ``dtype`` (default float32), so integer
+    columns round-trip exactly only below 2^24. Lowers to a single
+    iota-select pass instead of K one-lane tiled materializations.
     """
     k = len(cols)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)

@@ -56,6 +56,36 @@ def test_mask_cumsum_matmul_exact():
             np.testing.assert_array_equal(np.asarray(mask_cumsum(m)), want)
 
 
+def test_matmul_cumsum_under_two_jits():
+    """Regression: round 4 cached `_tri_bf16` as a JAX array built with
+    lax ops under lru_cache; the first call inside a jit trace poisoned the
+    cache with a tracer and EVERY later distinct jit raised
+    UnexpectedTracerError (killed BENCH_r04, broke find_homography on TPU).
+    Tracing the matmul path under two different jits reproduces the leak
+    class without a TPU."""
+    import jax
+    from cudasift_tpu.ops import scan
+
+    scan._tri_np.cache_clear()
+    m = jnp.asarray(np.arange(1200) % 3 == 0)
+    a = jax.jit(lambda v: scan._matmul_cumsum(v).sum())(m)
+    b = jax.jit(lambda v: scan._matmul_cumsum(v)[-1] * 2)(m)
+    want = int(np.cumsum((np.arange(1200) % 3 == 0).astype(np.int32)).sum())
+    assert int(a) == want
+    assert int(b) == 2 * 400
+    # Eager call after jitted ones must also survive.
+    np.testing.assert_array_equal(
+        np.asarray(scan._matmul_cumsum(m))[-1], 400)
+
+
+def test_mask_cumsum_rejects_non_bool():
+    import pytest
+    from cudasift_tpu.ops.scan import mask_cumsum
+
+    with pytest.raises(TypeError):
+        mask_cumsum(jnp.ones(8, jnp.int32))
+
+
 def test_lane_stack_matches_stack():
     from cudasift_tpu.ops.scan import lane_stack
 
