@@ -124,6 +124,18 @@ class SiftParams:
     # (tests/test_envelope.py guards the level) — so it suits throughput-
     # over-precision workloads only and is OFF by default.
     fast_gradients: bool = False
+    # Descriptor gradient sampler of the fused TPU kernel (phase 4):
+    #   "exact" — 4 bilinear taps per sample (reference arithmetic,
+    #             cudaSiftD.cu:337-343);
+    #   "shift" — rotation-aligned gradient fields from fractional
+    #             +-(cos a, sin a) bilinear patch shifts, sampled by one
+    #             shared 256-lane tent. Same tap axes as exact; the only
+    #             deviation is double-bilinear smoothing (the two hat
+    #             kernels convolve into a 2 px support). ~2x cheaper
+    #             phase 4 than exact;
+    #   "fast"  — alias target of fast_gradients (see above).
+    # fast_gradients=True overrides this to "fast" for back-compat.
+    grad_mode: str = "exact"
     # How the subpixel-refine kernel addresses the DoG stack
     # (ops/pallas/refine.py). Mosaic's HBM DMA-slice alignment rules vary
     # by compiler version, so "auto" probes the backend ONCE per process

@@ -121,7 +121,7 @@ def _fused_kernel(
     patf_s, pcs_s, patf_l, pcs_l,                    # per-geometry scratch
     gx_s, gy_s, gx_l, gy_l,                          # fast-gradient scratch
     vori, vall, vall2, metas, vrot,                  # shared scratch
-    *, fast,
+    *, mode,
 ):
     """One kernel, both patch geometries: the keypoint table is laid out as
     [small bucket | pad to B | large bucket], and each block dispatches to
@@ -148,7 +148,7 @@ def _fused_kernel(
         _block_body(
             blk, oy_ref, ox_ref, ry_ref, rx_ref, kpfs_ref, img_ref, kpc_ref,
             d1_ref, d2_ref, meta_ref, patf_s, pcs_s, gx_s, gy_s, vori, vall,
-            vall2, metas, vrot, P=P, PW=PW, pack=pack, fast=fast,
+            vall2, metas, vrot, P=P, PW=PW, pack=pack, mode=mode,
         )
 
     @pl.when(large)
@@ -157,7 +157,7 @@ def _fused_kernel(
         _block_body(
             blk, oy_ref, ox_ref, ry_ref, rx_ref, kpfs_ref, img_ref, kpc_ref,
             d1_ref, d2_ref, meta_ref, patf_l, pcs_l, gx_l, gy_l, vori, vall,
-            vall2, metas, vrot, P=P, PW=PW, pack=pack, fast=fast,
+            vall2, metas, vrot, P=P, PW=PW, pack=pack, mode=mode,
         )
 
 
@@ -165,7 +165,7 @@ def _block_body(
     blk, oy_ref, ox_ref, ry_ref, rx_ref, kpfs_ref, img_ref, kpc_ref,
     d1_ref, d2_ref, meta_ref, patf, pcs, gxf, gyf, vori, vall, vall2, metas,
     vrot,
-    *, P, PW, pack, fast,
+    *, P, PW, pack, mode,
 ):
     def kf(k, f):
         return kpfs_ref[(blk * B + k) * NF + f]
@@ -184,7 +184,11 @@ def _block_body(
         a = pltpu.roll(raw, (256 - rx) % 256, axis=1)[:, :PW]
         a = pltpu.roll(a, (P + 8 - ry) % (P + 8), axis=0)[:P]
         patf[k] = a
-        pcs[k] = (a - jnp.mean(a)).astype(jnp.bfloat16)
+        if mode == "exact":
+            # Mean-centered bf16 copy: only the exact 4-tap sampler
+            # contracts the raw patch against the tent (shift/fast contract
+            # gradient fields, where the DC is already removed).
+            pcs[k] = (a - jnp.mean(a)).astype(jnp.bfloat16)
 
     # ---- Phase 2: orientation value grids, FOUR keypoints per matmul. ----
     # The 13x13 window (+1 gradient halo) lives in rows/cols <= 29 of the
@@ -364,9 +368,9 @@ def _block_body(
     meta_ref[0] = meta
 
     # ---- Phase 4: descriptor sampling, `pack` keypoints per matmul. ----
-    # In fast mode the sample axis is the 256 grid points (the gx/gy fields
-    # share one tent); in exact mode it is 256 grid points x 4 taps.
-    SS = 256 if fast else S
+    # In shift/fast mode the sample axis is the 256 grid points (gradient
+    # FIELDS share one tent); in exact mode it is 256 grid points x 4 taps.
+    SS = S if mode == "exact" else 256
     lane_s = jax.lax.broadcasted_iota(jnp.int32, (1, SS), 1)
     tap = lane_s // 256
     rem = lane_s - tap * 256
@@ -385,16 +389,17 @@ def _block_body(
     lane_pk = jax.lax.broadcasted_iota(
         jnp.int32, (1, pack * PW), 1) // PW                      # (1, 128)
 
-    if fast:
-        # Opt-in approximation (SiftParams.fast_gradients): central-
-        # difference gradient fields, sampled once per grid point (256
-        # lanes, shared tent for gx/gy) and rotated batched in the finish
-        # stage — replaces the 4 bilinear taps per sample. Deviates from
-        # interpolate-then-difference by O(h^2) curvature terms. The
-        # fields are computed on the group's lane-concatenated patch stack
-        # (full VPU lanes, like the phase-2 shift); roll wrap-around lands
-        # only in row/col 0 and P-1/PW-1 of each block, which the sample
-        # clip keeps at zero tent weight.
+    if mode == "fast":
+        # Opt-in approximation (grad_mode="fast"): central-difference
+        # gradient fields, sampled once per grid point (256 lanes, shared
+        # tent for gx/gy) and rotated batched in the finish stage —
+        # replaces the 4 bilinear taps per sample. Deviates from
+        # interpolate-then-difference by O(h^2) curvature terms AND an
+        # axis-misaligned gradient frame. The fields are computed on the
+        # group's lane-concatenated patch stack (full VPU lanes, like the
+        # phase-2 shift); roll wrap-around lands only in row/col 0 and
+        # P-1/PW-1 of each block, which the sample clip keeps at zero
+        # tent weight.
         for j in range(B // pack):
             sts = jnp.concatenate(
                 [patf[pack * j + t] for t in range(pack)], axis=1
@@ -413,15 +418,18 @@ def _block_body(
         sina = jnp.sin(th)
         xs = lx0 + gx * (s12 * cosa) - gy * (s12 * sina) + 0.5
         ys = ly0 + gx * (s12 * sina) + gy * (s12 * cosa) + 0.5
-        if fast:
-            # Keep samples off the roll-wrapped border rows/cols.
-            sx = jnp.clip(xs - 0.5, 1.0, PW - 2.0)
-            sy = jnp.clip(ys - 0.5, 1.0, P - 2.0)
-        else:
+        if mode == "exact":
             tapx = cosa * ta - sina * tc
             tapy = sina * ta + cosa * tc
             sx = jnp.clip(xs + tapx - 0.5, 0.0, PW - 1.0)
             sy = jnp.clip(ys + tapy - 0.5, 0.0, P - 1.0)
+        else:
+            # Keep samples off the roll-wrapped border rows/cols. For
+            # in-range keypoints the clip is inert: the margins bound the
+            # grid reach to <= P-2 before the field rolls add their +-1
+            # (the +-1 lives INSIDE the field here, not in the tent).
+            sx = jnp.clip(xs - 0.5, 1.0, PW - 2.0)
+            sy = jnp.clip(ys - 0.5, 1.0, P - 2.0)
         return sx, sy, cosa, sina
 
     def bdiag(mats):
@@ -451,7 +459,105 @@ def _block_body(
             sinas.append(sina)
         cols = jnp.concatenate(colks, axis=0)            # (pack*PW, SS)
         rowt = jnp.concatenate(rowks, axis=0)            # (pack*P, SS)
-        if fast:
+        if mode == "shift":
+            # Rotation-aligned gradient FIELDS via fractional patch shifts:
+            #   Dx = S_{(+sina,+cosa)}(I) - S_{(-sina,-cosa)}(I)
+            #   Dy = S_{(+cosa,-sina)}(I) - S_{(-cosa,+sina)}(I)
+            # where S_{(dy,dx)} samples the patch bilinearly at a (dy, dx)
+            # offset — exactly the reference's 4 rotated unit taps
+            # (cudaSiftD.cu:340-343) lifted from per-sample to per-field.
+            # S is separable 3-tap hat weights (offsets in [-1, 1]), so
+            # both fields are 9 lane-selected FMAs over 8 shared rolls of
+            # the group's lane-concatenated patch stack; ONE 256-lane tent
+            # then samples them (the tent+matmul run at 1/4 and 1/2 of the
+            # exact path's size — phase 4 is the kernel's dominant cost).
+            # vs exact: the tap value is bilinear-of-bilinear (the hat
+            # pair convolves into a 2 px kernel) — pure extra smoothing,
+            # with the gradient axis exactly rotation-aligned (unlike
+            # mode="fast", whose central differences live in the unrotated
+            # frame). Roll wrap-around lands only in row/col 0 and
+            # P-1/PW-1 of each block, which the sample clip keeps at zero
+            # tent weight.
+            sts = jnp.concatenate(
+                [patf[pack * j + t] for t in range(pack)], axis=1
+            )                                            # (P, pack*PW)
+            cm = pltpu.roll(sts, 1, axis=1)              # reads col-1
+            cp = pltpu.roll(sts, pack * PW - 1, axis=1)  # reads col+1
+            rolls = {}
+            for jc, b_ in ((-1, cm), (0, sts), (1, cp)):
+                rolls[(0, jc)] = b_
+                rolls[(-1, jc)] = pltpu.roll(b_, 1, axis=0)      # row-1
+                rolls[(1, jc)] = pltpu.roll(b_, P - 1, axis=0)   # row+1
+
+            def hat(d):
+                # 3-tap hat weights of a fractional offset d in [-1, 1]:
+                # S_d(v)[i] = sum_t hat(d)[t+1] * v[i+t].
+                return [jnp.maximum(0.0, 1.0 - jnp.abs(d - o))
+                        for o in (-1.0, 0.0, 1.0)]
+
+            # Per-keypoint scalar weights W[jr][jc] for each field; note
+            # hat(-d)[t] = hat(d)[-t], so one hat per cos/sin serves both
+            # the + and - shifts.
+            wx_k, wy_k = [], []
+            for t in range(pack):
+                hc = hat(cosas[t])
+                hs = hat(sinas[t])
+                wx_k.append({
+                    (jr, jc): hs[jr + 1] * hc[jc + 1]
+                    - hs[1 - jr] * hc[1 - jc]
+                    for jr in (-1, 0, 1) for jc in (-1, 0, 1)
+                })
+                wy_k.append({
+                    (jr, jc): hc[jr + 1] * hs[1 - jc]
+                    - hc[1 - jr] * hs[jc + 1]
+                    for jr in (-1, 0, 1) for jc in (-1, 0, 1)
+                })
+
+            def lsel(vals):
+                # pack scalars -> (1, pack*PW) lane-blocked row vector.
+                out = jnp.full((1, pack * PW), vals[pack - 1], jnp.float32)
+                for t in range(pack - 2, -1, -1):
+                    out = jnp.where(lane_pk == t, vals[t], out)
+                return out
+
+            gxs_f = jnp.zeros((P, pack * PW), jnp.float32)
+            gys_f = jnp.zeros((P, pack * PW), jnp.float32)
+            for jr in (-1, 0, 1):
+                for jc in (-1, 0, 1):
+                    r_ = rolls[(jr, jc)]
+                    gxs_f += lsel([wx_k[t][(jr, jc)]
+                                   for t in range(pack)]) * r_
+                    gys_f += lsel([wy_k[t][(jr, jc)]
+                                   for t in range(pack)]) * r_
+
+            def bdg(stacked):
+                zb = jnp.zeros_like(stacked)
+                return jnp.concatenate(
+                    [jnp.where(lane_pk == t, stacked, zb)
+                     for t in range(pack)],
+                    axis=0,
+                )                                        # (pack*P, pack*PW)
+
+            t_gx = jax.lax.dot_general(
+                bdg(gxs_f.astype(jnp.bfloat16)), cols,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                            # (pack*P, 256)
+            t_gy = jax.lax.dot_general(
+                bdg(gys_f.astype(jnp.bfloat16)), cols,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            mgx = rowt * t_gx
+            mgy = rowt * t_gy
+            for t, k in enumerate(ks):
+                # Already rotation-aligned: finish() consumes the two
+                # halves as (dx, dy) directly, no post-rotation.
+                dst[k : k + 1, 0:256] = jnp.sum(
+                    mgx[t * P : (t + 1) * P], axis=0, keepdims=True)
+                dst[k : k + 1, 256:512] = jnp.sum(
+                    mgy[t * P : (t + 1) * P], axis=0, keepdims=True)
+        elif mode == "fast":
             # Block-diagonalize the group's stacked gradient fields by
             # lane masking (same construction as the phase-2 bd4).
             def bdg(stacked):
@@ -519,7 +625,7 @@ def _block_body(
     gweight = jnp.exp(-(gxs * gxs + gys * gys) / 128.0)
 
     def finish(vals, dref, row):
-        if fast:
+        if mode == "fast":
             # Rotate the sampled gradient-field sums into each keypoint's
             # frame, batched over the block (cos/sin staged per keypoint).
             cosv = vrot[:, 2 * row : 2 * row + 1]                # (B, 1)
@@ -528,6 +634,10 @@ def _block_body(
             sgy = vals[:, 256:512]
             dxv = cosv * sgx + sinv * sgy                        # (B, 256)
             dyv = cosv * sgy - sinv * sgx
+        elif mode == "shift":
+            # The shift fields are already rotation-aligned.
+            dxv = vals[:, 0:256]                                 # (B, 256)
+            dyv = vals[:, 256:512]
         else:
             dxv = vals[:, 0:256] - vals[:, 256:512]              # (B, 256)
             dyv = vals[:, 512:768] - vals[:, 768:1024]
@@ -576,7 +686,7 @@ def _block_body(
         d2_ref[...] = jnp.zeros((1, B, 128), jnp.float32)
 
 
-def _call_kernel(img, xpos, ypos, scale, margins, cnts, interpret, fast):
+def _call_kernel(img, xpos, ypos, scale, margins, cnts, interpret, mode):
     """Invoke the two-geometry kernel on a bucket-ordered keypoint table.
 
     ``img`` must already carry the shared (_PAD_R, _PAD_C) edge padding;
@@ -642,7 +752,7 @@ def _call_kernel(img, xpos, ypos, scale, margins, cnts, interpret, fast):
     )
     vmem_limit = img.shape[0] * img.shape[1] * 4 + 3 * 1024 * 1024
     return pl.pallas_call(
-        functools.partial(_fused_kernel, fast=fast),
+        functools.partial(_fused_kernel, mode=mode),
         out_shape=(
             jax.ShapeDtypeStruct((nb, B, 128), jnp.float32),
             jax.ShapeDtypeStruct((nb, B, 128), jnp.float32),
@@ -678,7 +788,7 @@ _TILE_TOP = 32
 _TILE_BOT = 40
 
 
-def _run_table(img_padded, xpos, ypos, scale, live, interpret, fast):
+def _run_table(img_padded, xpos, ypos, scale, live, interpret, mode):
     """Bucket-compact `live` keypoints by scale, run the two-geometry
     kernel, and scatter results back to slot order (zeros elsewhere).
 
@@ -716,7 +826,7 @@ def _run_table(img_padded, xpos, ypos, scale, live, interpret, fast):
     cnts = jnp.stack([cnt_s, cs_pad, cnt_l])
 
     d1, d2, meta = _call_kernel(img_padded, bx, by, bs, margins, cnts,
-                                interpret, fast)
+                                interpret, mode)
 
     # Kernel rows are a*16 + rc; the reference descriptor index is
     # d = 8*rc + a (cudaSiftD.cu:347-386 bin layout).
@@ -759,7 +869,7 @@ def _run_table(img_padded, xpos, ypos, scale, live, interpret, fast):
     )
 
 
-@tpu_jit(static_argnames=("interpret", "fast"))
+@tpu_jit(static_argnames=("interpret", "fast", "mode"))
 def orient_and_describe_pallas(
     img: jnp.ndarray,
     xpos: jnp.ndarray,
@@ -768,12 +878,24 @@ def orient_and_describe_pallas(
     interpret: bool = False,
     count: jnp.ndarray | None = None,
     fast: bool = False,
+    mode: str | None = None,
 ):
     """Fused orientation + descriptors for ``count`` live keypoints.
 
     Returns (desc1 (N, 128), desc2 (N, 128), ori1 (N,), ori2 (N,),
     has2 (N,) bool). ``desc2``/``ori2`` are the second-peak duplicates,
     valid where ``has2``.
+
+    ``mode`` selects the descriptor gradient sampler (phase 4):
+      "exact" — 4 bilinear taps per sample, the reference arithmetic
+                (cudaSiftD.cu:337-343);
+      "shift" — rotation-aligned gradient fields from fractional
+                +-(cos a, sin a) patch shifts + one shared 256-lane tent
+                (half the phase-4 matmul, a quarter of the tent build);
+                differs from exact by double-bilinear smoothing only;
+      "fast"  — unrotated central-difference fields, rotated after
+                sampling (cheapest; axis-misaligned, biggest deviation).
+    ``fast=True`` is the legacy alias for mode="fast".
 
     Keypoints are stable-compacted into a [small | large] bucket layout by
     octave-local scale (<= SMALL_MAX_SCALE -> 4-packed (32,32) patches,
@@ -787,6 +909,10 @@ def orient_and_describe_pallas(
     arithmetic, since every patch a keypoint reads lies inside its tile's
     extended slice. The caller must check ``fused_tiles`` is not None.
     """
+    if mode is None:
+        mode = "fast" if fast else "exact"
+    if mode not in ("exact", "shift", "fast"):
+        raise ValueError(f"mode must be exact|shift|fast, got {mode!r}")
     n_in = xpos.shape[0]
     if count is None:
         count = jnp.int32(n_in)
@@ -824,7 +950,7 @@ def orient_and_describe_pallas(
         )
         live_t = live & (ypos >= y0) & (ypos < y1) if n_tiles > 1 else live
         res = _run_table(
-            img_t, xpos, ypos - y0e, scale, live_t, interpret, fast
+            img_t, xpos, ypos - y0e, scale, live_t, interpret, mode
         )
         outs = res if outs is None else tuple(
             a + b for a, b in zip(outs, res))

@@ -283,7 +283,7 @@ def _extract_octave(
         desc1, desc2, primary, secondary, has_second = (
             orient_and_describe_pallas(
                 base, cands.xpos, cands.ypos, scale_safe, count=cands.count,
-                fast=params.fast_gradients,
+                mode="fast" if params.fast_gradients else params.grad_mode,
             )
         )
         fields = {

@@ -408,6 +408,41 @@ def test_fast_gradients_close_to_exact(rng):
     assert np.abs(de - df).max() < 0.08
 
 
+def test_shift_gradients_close_to_exact(rng):
+    """mode="shift" (rotation-aligned fractional-shift gradient fields):
+    orientation is bit-identical to exact; descriptors deviate only by the
+    double-bilinear smoothing of the tap, so they must sit strictly closer
+    to exact than mode="fast" does (whose gradient axes are unrotated).
+    Covers both scale buckets."""
+    from cudasift_tpu.ops.pallas.orient_desc import orient_and_describe_pallas
+
+    img = make_image(rng)
+    h, w = img.shape
+    n = 16
+    x = jnp.asarray(rng.uniform(30, w - 30, n).astype(np.float32))
+    y = jnp.asarray(rng.uniform(30, h - 30, n).astype(np.float32))
+    s = np.concatenate([rng.uniform(0.95, 1.65, n - 4),
+                        rng.uniform(1.8, 2.4, 4)]).astype(np.float32)
+    s = jnp.asarray(s)
+    exact = orient_and_describe_pallas(jnp.asarray(img), x, y, s,
+                                       interpret=True, mode="exact")
+    shift = orient_and_describe_pallas(jnp.asarray(img), x, y, s,
+                                       interpret=True, mode="shift")
+    dori = np.abs(np.asarray(exact[2]) - np.asarray(shift[2]))
+    dori = np.minimum(dori, 360.0 - dori)
+    assert dori.max() == 0.0, dori
+    de = np.asarray(exact[0])
+    ds = np.asarray(shift[0])
+    cos = (de * ds).sum(axis=1)
+    assert cos.min() > 0.985, cos
+    assert np.abs(de - ds).max() < 0.05
+    # Second-peak descriptors follow the same arithmetic.
+    has2 = np.asarray(exact[4]) & np.asarray(shift[4])
+    if has2.any():
+        c2 = (np.asarray(exact[1])[has2] * np.asarray(shift[1])[has2]).sum(1)
+        assert c2.min() > 0.985, c2
+
+
 def test_fused_tiled_matches_untiled(rng, monkeypatch):
     """Images too large for one VMEM-resident slice run in y-tiles with
     32/40-row overlaps; every patch a keypoint reads lies inside its tile's
