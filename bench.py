@@ -14,10 +14,28 @@ lower is better, < 1.0 beats the target). Detailed numbers go to stderr.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+
+def _enable_compile_cache():
+    """Persist compiled executables across bench/benchmark processes.
+
+    Compiles dominate wall time on this 1-core host (tests/conftest.py has
+    cached test compiles since round 2; bench and benchmarks/* recompiled
+    every program every process until round 5). Shares the tests' cache dir.
+    """
+    import jax
+
+    cache = os.path.join(os.path.dirname(__file__), "tests", ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+_enable_compile_cache()
 
 
 def log(*a):

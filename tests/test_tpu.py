@@ -256,3 +256,23 @@ def test_fused_vs_split_pipeline_on_chip(crop):
     # to <2 deg on ~all singleton points; descriptors to ~2e-3 p99.
     assert (oerr < 2.0).mean() >= 0.95, (oerr > 2).sum()
     assert np.percentile(derr, 99) < 5e-3, np.percentile(derr, 99)
+
+
+def test_shift_grad_mode_on_chip(crop):
+    """grad_mode="shift" on the real chip: identical keypoint set and
+    orientations to exact (phases 1-3 untouched), descriptors within the
+    double-bilinear smoothing envelope (interpret-mode test bound)."""
+    base = SiftParams(num_octaves=4, init_blur=1.0, thresh=4.0, max_pts=8192)
+    de = cs.extract_sift(crop, base)
+    dsft = cs.extract_sift(crop, dataclasses.replace(base, grad_mode="shift"))
+    ne, nsh = int(de.num_pts), int(dsft.num_pts)
+    assert ne == nsh and ne > 200
+    np.testing.assert_array_equal(
+        np.asarray(de.xpos)[:ne], np.asarray(dsft.xpos)[:ne])
+    np.testing.assert_array_equal(
+        np.asarray(de.orientation)[:ne], np.asarray(dsft.orientation)[:ne])
+    a = np.asarray(de.data)[:ne]
+    b = np.asarray(dsft.data)[:ne]
+    cos = (a * b).sum(axis=1)
+    assert np.median(cos) > 0.997, np.median(cos)
+    assert cos.min() > 0.97, cos.min()
