@@ -41,10 +41,18 @@ def _parse_args(argv):
 
 def main(argv=None) -> int:
     args = _parse_args(argv)
-    if args.platform:
-        import jax
+    import jax
 
+    if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # Persist compiled executables across CLI invocations (compiles dominate
+    # cold-start wall time; the demo flow compiles ~8 programs).
+    import os
+    import tempfile
+
+    cache = os.path.join(tempfile.gettempdir(), "cudasift_tpu_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     return _run(args)
 
 

@@ -879,8 +879,16 @@ def orient_and_describe_pallas(
     count: jnp.ndarray | None = None,
     fast: bool = False,
     mode: str | None = None,
+    live: jnp.ndarray | None = None,
 ):
     """Fused orientation + descriptors for ``count`` live keypoints.
+
+    ``live``: optional (N,) bool mask selecting live slots directly —
+    supersedes ``count`` (which means "the first count slots"). The bucket
+    compaction inside is mask-driven, so scattered validity costs exactly
+    what front-packed validity does; callers can skip their own
+    pre-compaction (saves a measured ~0.5 ms/frame of stable-compact
+    gathers at 1080p).
 
     Returns (desc1 (N, 128), desc2 (N, 128), ori1 (N,), ori2 (N,),
     has2 (N,) bool). ``desc2``/``ori2`` are the second-peak duplicates,
@@ -914,6 +922,8 @@ def orient_and_describe_pallas(
     if mode not in ("exact", "shift", "fast"):
         raise ValueError(f"mode must be exact|shift|fast, got {mode!r}")
     n_in = xpos.shape[0]
+    if live is not None and live.shape != (n_in,):
+        raise ValueError(f"live shape {live.shape} != ({n_in},)")
     if count is None:
         count = jnp.int32(n_in)
     count = jnp.asarray(count, jnp.int32)
@@ -921,6 +931,8 @@ def orient_and_describe_pallas(
     if pad:
         xpos, ypos, scale = (jnp.pad(a, (0, pad)) for a in (xpos, ypos, scale))
         scale = scale.at[n_in:].set(1.0)
+        if live is not None:
+            live = jnp.pad(live, (0, pad))
     n = xpos.shape[0]
     h, w = img.shape
     n_tiles = fused_tiles(h, w)
@@ -937,7 +949,8 @@ def orient_and_describe_pallas(
     xpos = jnp.clip(xpos, 0.0, float(w - 1))
     ypos = jnp.clip(ypos, 0.0, float(h - 1))
 
-    live = jnp.arange(n) < count
+    if live is None:
+        live = jnp.arange(n) < count
     step = -(-h // n_tiles)
     outs = None
     for t in range(n_tiles):

@@ -201,7 +201,16 @@ def _extract_octave(
     capacity. The XLA path (CPU/golden) keeps the two-stage
     orient -> compact -> describe structure.
     """
+    from .ops.pallas.orient_desc import fused_tiles
+
     use_pallas = params.use_pallas and _on_tpu()
+    # Whether the FUSED orient+descriptor kernel will consume the
+    # candidates. It is mask-gated (takes scattered validity directly); the
+    # split kernels are count-gated and need a front-packed table.
+    fused_od = (
+        use_pallas and params.use_fused
+        and fused_tiles(*base.shape) is not None
+    )
     if use_pallas:
         # Fused blur+DoG+extrema stencil (LaplaceMultiMem + the scan half of
         # FindPointsMultiNew in one pass): one image read per strip, mask and
@@ -235,21 +244,31 @@ def _extract_octave(
             logical_shape=base.shape if raw else None,
             lane8=params.refine_layout != "pair",
         )
-        # Stable-compact the refine survivors before orientation/descriptor:
-        # the fused kernel is count-gated, so dropping the ~15-25% of
-        # candidates refine invalidates (edge test, lowest_scale) here saves
-        # whole kernel blocks downstream for one cheap 5-field gather. Raster
-        # order is preserved, so the final point set and order are identical.
-        f0, live_count = _compact(
-            {"xpos": xp, "ypos": yp, "scale": sc, "sharpness": sh,
-             "edgeness": ed},
-            valid, capacity,
-        )
-        cands = Candidates(
-            xpos=f0["xpos"], ypos=f0["ypos"], scale=f0["scale"],
-            sharpness=f0["sharpness"], edgeness=f0["edgeness"],
-            valid=jnp.arange(capacity) < live_count, count=live_count,
-        )
+        if fused_od:
+            # No stable-compact between refine and orient/descriptor: the
+            # fused kernel's bucket compaction is mask-driven, so passing
+            # refine's validity directly costs the same kernel blocks as a
+            # front-packed table — the 5-field gather pass here measured
+            # +0.49 ms in context (benchmarks/extract_prefix.py, round 5)
+            # for zero downstream benefit. Raster order of live slots is
+            # unchanged, so the final merged point set and order are
+            # identical.
+            cands = Candidates(
+                xpos=xp, ypos=yp, scale=sc, sharpness=sh, edgeness=ed,
+                valid=valid, count=valid.sum(dtype=jnp.int32),
+            )
+        else:
+            # The split kernels are count-gated: front-pack the survivors.
+            f0, live_count = _compact(
+                {"xpos": xp, "ypos": yp, "scale": sc, "sharpness": sh,
+                 "edgeness": ed},
+                valid, capacity,
+            )
+            cands = Candidates(
+                xpos=f0["xpos"], ypos=f0["ypos"], scale=f0["scale"],
+                sharpness=f0["sharpness"], edgeness=f0["edgeness"],
+                valid=jnp.arange(capacity) < live_count, count=live_count,
+            )
     else:
         blur = convolve.blur_multi(base, kernels)
         dog = blur[1:] - blur[:-1]
@@ -270,19 +289,12 @@ def _extract_octave(
     def dup(a, b=None):
         return jnp.concatenate([a, a if b is None else b])
 
-    from .ops.pallas.orient_desc import fused_tiles
-
-    if (
-        params.use_pallas
-        and params.use_fused
-        and _on_tpu()
-        and fused_tiles(*base.shape) is not None
-    ):
+    if fused_od:
         from .ops.pallas.orient_desc import orient_and_describe_pallas
 
         desc1, desc2, primary, secondary, has_second = (
             orient_and_describe_pallas(
-                base, cands.xpos, cands.ypos, scale_safe, count=cands.count,
+                base, cands.xpos, cands.ypos, scale_safe, live=cands.valid,
                 mode="fast" if params.fast_gradients else params.grad_mode,
             )
         )
@@ -489,10 +501,25 @@ def extract_sift_throughput(
     win is the amortized per-call overhead, so larger batches help until
     compile time / HBM working set dominate. Compiled once per
     (batch, shape, params).
+
+    Frames are UNROLLED at trace time (see _extract_batch_jit), so compile
+    time scales linearly with the batch: batch 4-8 is the sweet spot
+    (measured 3.2x single-frame rate at batch 4). For larger streams, chunk
+    into batch-8 calls — one compile, amortized dispatch — instead of
+    compiling a batch-64 program.
     """
     images = jnp.asarray(images, jnp.float32)
     if images.ndim != 3:
         raise ValueError(f"expected (N, H, W) frames, got {images.shape}")
+    if images.shape[0] > 16:
+        import warnings
+
+        warnings.warn(
+            f"extract_sift_throughput: batch {images.shape[0]} frames are "
+            "unrolled at trace time — compile time scales linearly; chunk "
+            "into batches of <= 8 and reuse the compiled program instead.",
+            stacklevel=2,
+        )
     return _extract_batch_jit(images, _effective_params(params))
 
 
