@@ -202,7 +202,7 @@ def main():
                 f"floor {floor:.4f} ms — raw value reported, floor noted")
             results[f"match_{tag}_floor_ms"] = floor
         results[f"match_{tag}_ms"] = ms
-        gflops = flops / (ms * 1e-3) / 1e9
+        gflops = flops / (max(ms, 1e-6) * 1e-3) / 1e9
         log(f"match {tag}x{tag}: {ms:.3f} ms ({gflops:.0f} GFLOPS)")
 
     # Match-quality envelope on the bundled pair (README.md:111-121 row

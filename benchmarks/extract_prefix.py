@@ -28,7 +28,7 @@ from cudasift_tpu.config import SiftParams
 from cudasift_tpu.ops import convolve
 from cudasift_tpu.ops.detect import compact_mask
 from cudasift_tpu.pipeline import (
-    _compact, _effective_params, _extract_sift_traced,
+    _effective_params, _extract_sift_traced,
 )
 from cudasift_tpu.utils.jit import tpu_compiler_options
 
@@ -114,23 +114,9 @@ def main():
             outs.append(r[0][0] + r[2][0] + r[5][0])
         return outs
 
-    def p_postcompact(p):
-        outs = []
-        for o, base in enumerate(bases_of(p)):
-            cap = params.candidate_capacity(*base.shape, o)
-            dog, mask = dog_and_mask_pallas(
-                base, kernels[o], params.thresh, params.edge_limit, raw=True)
-            idx, cnt = compact_mask(mask, cap)
-            xp, yp, sc, sh, ed, valid = refine_candidates_pallas(
-                dog, idx, cnt, params.edge_limit, 0.0,
-                logical_shape=base.shape, lane8=lane8)
-            f0, live = _compact(
-                {"xpos": xp, "ypos": yp, "scale": sc, "sharpness": sh,
-                 "edgeness": ed}, valid, cap)
-            outs.append(sum(v.sum() for v in f0.values()) + live)
-        return outs
-
     def p_od(p):
+        # Matches the round-5 pipeline: refine's validity mask feeds the
+        # fused kernel directly (no stable-compact in between).
         outs = []
         for o, base in enumerate(bases_of(p)):
             cap = params.candidate_capacity(*base.shape, o)
@@ -140,12 +126,10 @@ def main():
             xp, yp, sc, sh, ed, valid = refine_candidates_pallas(
                 dog, idx, cnt, params.edge_limit, 0.0,
                 logical_shape=base.shape, lane8=lane8)
-            f0, live = _compact(
-                {"xpos": xp, "ypos": yp, "scale": sc, "sharpness": sh,
-                 "edgeness": ed}, valid, cap)
-            sc_safe = jnp.where(jnp.arange(cap) < live, f0["scale"], 1.0)
+            sc_safe = jnp.where(valid, sc, 1.0)
             d1, d2, pri, sec, has2 = orient_and_describe_pallas(
-                base, f0["xpos"], f0["ypos"], sc_safe, count=live)
+                base, xp, yp, sc_safe, live=valid,
+                mode=params.grad_mode)
             outs.append(d1.reshape(-1)[0] + d2.reshape(-1)[0] + pri[0]
                         + sec[0])
         return outs
@@ -158,7 +142,6 @@ def main():
         ("+dog", p_dog, 8),
         ("+compact", p_compact, 8),
         ("+refine", p_refine, 8),
-        ("+postcmp", p_postcompact, 8),
         ("+od", p_od, 6),
         ("full", p_full, 6),
     ]
