@@ -62,7 +62,11 @@ def main():
             cs0 + p, ci0, j1, j2, nn, 8),
     }
 
-    chain = 24 if n >= 8192 else 96
+    # chain=24 at 16k compiles a ~30-billion-FLOP x24 program; the tunnel's
+    # remote compiler wedged on it (round 5, 37 min no output). chain=8
+    # still cancels dispatch overhead (per-call ~2.6 ms >> 40 ms/7 chain
+    # steps) at a third of the program size.
+    chain = 8 if n >= 8192 else 96
     mins = {k: 1e30 for k in stages}
     for r in range(rounds):
         for name, fn in stages.items():

@@ -174,7 +174,9 @@ def _dog_kernel(k_ref, a_ref, b_ref, c_ref, thr_ref, dims_ref,
         tra = dxx + dyy
         det = dxx * dyy - dxy * dxy
         is_ext = is_ext & (tra * tra < edge_limit * det)
-        mask_ref[s, :, :] = (is_ext & interior).astype(jnp.float32)
+        # bf16 mask (0/1 exact): halves the ~40 MB of mask write+read
+        # traffic at 1080p vs the old f32 planes.
+        mask_ref[s, :, :] = (is_ext & interior).astype(jnp.bfloat16)
 
 
 def _vert_band(kernels: jnp.ndarray, th: int) -> jnp.ndarray:
@@ -258,7 +260,7 @@ def dog_and_mask_pallas(
         functools.partial(_kernel_entry, th=th, mxu_vert=mxu_vert),
         out_shape=(
             jax.ShapeDtypeStruct((7, th * nstrips, wr), jnp.float32),
-            jax.ShapeDtypeStruct((5, th * nstrips, wr), jnp.float32),
+            jax.ShapeDtypeStruct((5, th * nstrips, wr), jnp.bfloat16),
         ),
         grid_spec=grid_spec,
         interpret=interpret,

@@ -216,8 +216,11 @@ def match_descriptors_pallas(
       - ``rescore_k=8``: hybrid exact — bfloat16x3 candidate sweep + full-
         precision rescore of each row's top-k candidates. Index- and
         score-exact at the f32 level (near-ties on repetitive scenes are
-        decided on exact rescored values, see the bf16-flip test), but not
-        yet faster than HIGHEST on v5e — stays opt-in until it wins.
+        decided on exact rescored values, see the bf16-flip test), but a
+        MEASURED NEGATIVE on v5e (round 5, interleaved minima @16k:
+        hybrid 4.60 ms vs HIGHEST 2.04 — the sweep's per-chunk top-2
+        bookkeeping alone outweighs the whole exact pass; ROADMAP.md).
+        Kept as a tested reference for parts with wider MXUs.
       - ``use_bf16=True``: pure bfloat16 speed tier (no rescore).
     """
     n1_cap = d1.shape[0]
