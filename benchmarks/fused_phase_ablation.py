@@ -95,7 +95,7 @@ def main_trace():
         for _ in range(reps):
             for mod in mods:
                 out = mod.orient_and_describe_pallas(
-                    img + acc * 1e-30, x, y, s, count=cnt)
+                    img + acc * 1e-30, x, y, s, count=cnt, mode=MODE)
                 for leaf in jax.tree.leaves(out):
                     acc = acc + leaf.reshape(-1)[0].astype(jnp.float32)
         return acc
@@ -153,13 +153,19 @@ def main():
     for np_, name in zip(range(6), names):
         mod = make_variant(np_)
         fn = mod.orient_and_describe_pallas
-        t = device_time(lambda p: fn(img + p, x, y, s, count=cnt), chain=8)
+        t = device_time(lambda p: fn(img + p, x, y, s, count=cnt,
+                                     mode=MODE), chain=8)
         log(f"phase<={np_} [{name:>22}]: {t:7.3f} ms  "
             f"({t/n*1e6:5.0f} ns/kp)  marginal {(t-prev)/n*1e6:+6.0f} ns/kp")
         prev = t
 
 
+MODE = "exact"
+
+
 if __name__ == "__main__":
+    if "--mode" in sys.argv:
+        MODE = sys.argv[sys.argv.index("--mode") + 1]
     if "--trace" in sys.argv:
         main_trace()
     else:

@@ -664,8 +664,18 @@ def _block_body(
             )                                                    # (B, 16)
             out.append(da)
         # Lane layout d' = a*16 + rc per keypoint row; the XLA wrapper
-        # permutes lanes to the reference order d = 8*rc + a.
-        dref[0] = jnp.concatenate(out, axis=1)
+        # permutes lanes to the reference order d = 8*rc + a. The two-stage
+        # normalization (L2 -> clamp 0.2 -> L2, cudaSiftD.cu:390-409) is
+        # lane-permutation-invariant, so it runs HERE on the (B, 128)
+        # block — the wrapper previously re-read every capacity-width
+        # descriptor table twice for it (4 full passes per frame).
+        d = jnp.concatenate(out, axis=1)                         # (B, 128)
+        n1 = jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(d * d, axis=1, keepdims=True), 1e-30))
+        t1 = jnp.minimum(d * n1, 0.2)
+        n2 = jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(t1 * t1, axis=1, keepdims=True), 1e-30))
+        dref[0] = t1 * n2
 
     finish(vall[...], d1_ref, 0)
 
@@ -835,14 +845,11 @@ def _run_table(img_padded, xpos, ypos, scale, live, interpret, mode):
     valid = live_pos[:, None]
 
     def unpack(raw):
-        x = raw.reshape(nc, 128)[:, perm]
-        # L2 -> clamp 0.2 -> L2 (cudaSiftD.cu:390-409).
-        n1 = jax.lax.rsqrt(
-            jnp.maximum(jnp.sum(x * x, axis=1, keepdims=True), 1e-30))
-        t1 = jnp.minimum(x * n1, 0.2)
-        n2 = jax.lax.rsqrt(
-            jnp.maximum(jnp.sum(t1 * t1, axis=1, keepdims=True), 1e-30))
-        return jnp.where(valid, t1 * n2, 0.0)
+        # The L2 -> clamp 0.2 -> L2 normalization (cudaSiftD.cu:390-409)
+        # runs inside the kernel's finish() — permutation-invariant, so it
+        # is valid in the kernel's a*16+rc lane order. Here: permute lanes
+        # to the reference order and zero dead rows.
+        return jnp.where(valid, raw.reshape(nc, 128)[:, perm], 0.0)
 
     meta = meta.transpose(0, 2, 1).reshape(nc, 8)
     has2_pos = live_pos & (meta[:, 2] > 0.5)
