@@ -113,7 +113,8 @@ def extrema_mask(
     return mask & interior
 
 
-def compact_mask(mask: jnp.ndarray, capacity: int, with_total: bool = False):
+def compact_mask(mask: jnp.ndarray, capacity: int, with_total: bool = False,
+                 radix: int = 256):
     """Compact a boolean mask into raster-ordered flat indices.
 
     Returns (flat_indices (capacity,) int32, count () int32) — plus the
@@ -124,15 +125,16 @@ def compact_mask(mask: jnp.ndarray, capacity: int, with_total: bool = False):
     reference clamps into the last slot instead, cudaSiftD.cu:1421 —
     dropping is the cleaner fixed-capacity semantic).
 
-    Implemented as a radix-512 hierarchical rank search: per-chunk popcounts
+    Implemented as a hierarchical radix rank search: per-chunk popcounts
     build a small pyramid; each selected slot descends it with one row-gather
-    + 512-lane cumsum per level. Everything is dense VPU work plus two
+    + radix-lane cumsum per level. Everything is dense VPU work plus two
     small gathers per slot — no flat scatter (serializes on TPU), no
     full-length cumsum, no O(capacity * N) comparisons. Level 0 stays int8
-    (the full-mask-sized pyramid level is bandwidth; 512^2 > any octave's
-    voxel count keeps the descent at two gathers).
+    (the full-mask-sized pyramid level is bandwidth). Radix 256 measured
+    fastest in context (round-5 interleaved minima over the five 1080p
+    octaves: 512 -> 2.007 ms, 256 -> 1.919, 128 -> 2.367, dog included;
+    all radii bit-identical — benchmarks/compact_radix_ab.py).
     """
-    radix = 512
     flat = mask.reshape(-1)
     n = flat.shape[0]
     pad = (-n) % radix
