@@ -192,7 +192,7 @@ def _vert_band(kernels: jnp.ndarray, th: int) -> jnp.ndarray:
     return jnp.where(tap_ok, taps, 0.0).astype(jnp.float32)
 
 
-@tpu_jit(static_argnames=("interpret", "mxu_vert", "raw"))
+@tpu_jit(static_argnames=("interpret", "mxu_vert", "raw", "th"))
 def dog_and_mask_pallas(
     img: jnp.ndarray,
     kernels: jnp.ndarray,
@@ -201,6 +201,7 @@ def dog_and_mask_pallas(
     interpret: bool = False,
     mxu_vert: bool = False,
     raw: bool = False,
+    th: int | None = None,
 ):
     """(dog (7, H, W) f32, mask (5, H, W) bool) for one octave.
 
@@ -219,8 +220,11 @@ def dog_and_mask_pallas(
     # Narrow strips for wide images: the kernel's live working set (~38
     # strip-width arrays across the 8 blurs, 7 DoGs and the shared pools)
     # scales with th*w and exceeds Mosaic's scoped-VMEM budget at
-    # th=16, w>2048 (seen at 1440p).
-    th = TH if w <= 2048 else 8
+    # th=16, w>2048 (seen at 1440p). ``th`` overrides the heuristic (the
+    # kernel arithmetic is strip-height-agnostic — outputs are identical
+    # for any th; see benchmarks/dog_th_ab.py).
+    if th is None:
+        th = TH if w <= 2048 else 8
     nstrips = -(-h // th)
     hp = th * (nstrips + 2)
     # dog is emitted at lane-rounded width: the tail lanes cost nothing
