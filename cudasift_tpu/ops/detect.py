@@ -134,6 +134,14 @@ def compact_mask(mask: jnp.ndarray, capacity: int, with_total: bool = False,
     fastest in context (round-5 interleaved minima over the five 1080p
     octaves: 512 -> 2.007 ms, 256 -> 1.919, 128 -> 2.367, dog included;
     all radii bit-identical — benchmarks/compact_radix_ab.py).
+
+    The per-level lane cumsum runs on the MXU as a triangular matmul where
+    that is provably exact: level-0 entries are 0/1 and level-1 entries are
+    chunk popcounts <= radix <= 256 — all integers <= 256 are exact in the
+    bf16 operand cast, and the MXU accumulates in f32 (exact below 2^24).
+    Deeper levels (masks > radix^3 elements, e.g. 4K images at radix 256)
+    keep the integer ``jnp.cumsum``. The ``start`` rank rebase reads the
+    masked cumsum maximum instead of re-summing the gathered rows.
     """
     flat = mask.reshape(-1)
     n = flat.shape[0]
@@ -168,14 +176,30 @@ def compact_mask(mask: jnp.ndarray, capacity: int, with_total: bool = False,
     node = below.sum(axis=1).astype(jnp.int32)
     start = jnp.sum(jnp.where(below, top[None, :], 0), axis=1)
 
+    from .scan import _tri_np
+
     # Descend: at each level gather the selected rows, rank within them.
-    for lvl in reversed(levels):
-        rows = lvl[node].astype(jnp.int32)                   # (cap, 512)
-        cum = jnp.cumsum(rows, axis=1)
+    for depth, lvl in enumerate(reversed(levels)):
+        rows = lvl[node]                                     # (cap, radix)
+        # Entry bound at this level: radix^(level index). levels is ordered
+        # bottom-up, so the descent visits the deepest level LAST.
+        bound = radix ** (len(levels) - 1 - depth)
         rank = (targets - start)[:, None]                    # 1-based in-node
-        below = cum < rank
+        if bound <= 256:
+            tri = jnp.asarray(_tri_np()[:radix, :radix], jnp.bfloat16)
+            cum = jax.lax.dot_general(
+                rows.astype(jnp.bfloat16), tri, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                # exact integers
+            below = cum < rank.astype(jnp.float32)
+            start = start + jnp.max(
+                jnp.where(below, cum, 0.0), axis=1).astype(jnp.int32)
+        else:
+            rows = rows.astype(jnp.int32)
+            cum = jnp.cumsum(rows, axis=1)
+            below = cum < rank
+            start = start + jnp.max(jnp.where(below, cum, 0), axis=1)
         loc = below.sum(axis=1).astype(jnp.int32)
-        start = start + jnp.sum(jnp.where(below, rows, 0), axis=1)
         node = node * radix + loc
 
     idx = jnp.where(targets <= total, node, 0)
